@@ -1,0 +1,136 @@
+"""Shared neural-net building blocks (flax.linen, NHWC, bf16-with-fp32-islands).
+
+TPU-first conventions used across all model families:
+  * NHWC layout everywhere — XLA's TPU conv emitter wants channels-last so the
+    channel dim lands on the 128-lane axis (the reference is NCHW,
+    e.g. stablediffusionv2/ldm/modules/diffusionmodules/openaimodel.py:536-576;
+    we deliberately invert this).
+  * `param_dtype` is fp32; activations are `dtype` (bf16 by default on TPU).
+  * Normalizations (GroupNorm/LayerNorm) compute in fp32 regardless of the
+    activation dtype, mirroring the reference's fp32 norm islands
+    (stablediffusionv2 ldm/modules/diffusionmodules/util.py:90-96,
+    Taichu-GLIDE model/glide_text2im/model/xf.py:26-33).
+  * "zero modules" (reference util.py zero_module) become zero-init kernels.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings, fp32.
+
+    Matches the reference layout [cos ‖ sin]? No — the reference emits
+    concat([cos, sin]) (stablediffusionv2 util.py:111-131 builds
+    concat([Cos(args), Sin(args)])); we keep that exact order so converted
+    checkpoints reproduce bit-compatible time embeddings.
+    Accepts integer or float timesteps of shape (B,).
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in fp32, output cast back to the input dtype.
+
+    Reference keeps GroupNorm fp32 under fp16 activations (util.py:90-96,
+    attention.py Normalize). eps matches per use site.
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        # Real model channel counts are multiples of 32; tiny test configs may
+        # not be — fall back to the largest divisor <= num_groups.
+        channels = x.shape[-1]
+        groups = self.num_groups
+        while channels % groups:
+            groups -= 1
+        y = nn.GroupNorm(
+            num_groups=groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm computed in fp32 (reference xf.py:26-33, attention.py norms)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(orig_dtype)
+
+
+def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = False,
+          name: Optional[str] = None) -> nn.Dense:
+    kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init,
+        name=name,
+    )
+
+
+def conv3x3(features: int, dtype: Dtype, zero_init: bool = False, stride: int = 1,
+            name: Optional[str] = None) -> nn.Conv:
+    kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features,
+        kernel_size=(3, 3),
+        strides=(stride, stride),
+        padding=1,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init,
+        name=name,
+    )
+
+
+def conv1x1(features: int, dtype: Dtype, zero_init: bool = False,
+            name: Optional[str] = None) -> nn.Conv:
+    kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features,
+        kernel_size=(1, 1),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init,
+        name=name,
+    )
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC nearest-neighbor 2x upsample (reference ResizeNearestNeighbor)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))

@@ -1,0 +1,84 @@
+"""Attention dispatch: XLA einsum reference path + Pallas TPU kernel.
+
+The reference computes plain `softmax(QK^T * scale) V`, materializing the full
+(B*heads, N, N) score tensor (stablediffusionv2/ldm/modules/attention.py:138-152,
+and equivalents in model.py:182-206, unet.py:286-310, xf.py:82-97). At 512x512
+the first SD attention level self-attends over 64*64 = 4096 tokens, so that
+tensor is the documented memory limiter of the reference (wukong
+README_EN.md:60). Here the hot path is a Pallas kernel that never materializes
+more than a (block_q, Nk) tile of scores in VMEM (ops/flash_attention.py);
+everything else uses the einsum path, which XLA fuses fine for short contexts.
+
+Tensor convention: (B, N, H, D) — batch, tokens, heads, head_dim.
+Softmax statistics are always fp32 regardless of the activation dtype.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Token count above which the Pallas kernel is preferred on TPU. Short
+# (cross-attention, text-encoder) sequences stay on the XLA path: the score
+# tensor is tiny and XLA's fusion wins.
+_PALLAS_MIN_TOKENS = 1024
+
+
+def einsum_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference attention: fp32 softmax over bf16 matmuls. (B, N, H, D)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * jnp.float32(scale)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_available() -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from minddiffusion_tpu.ops import flash_attention  # noqa: F401
+        return True
+    except Exception:  # pragma: no cover - import guard
+        return False
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention with automatic TPU-kernel dispatch.
+
+    q: (B, Nq, H, D); k, v: (B, Nk, H, D). Returns (B, Nq, H, D) in q.dtype.
+    impl: None (auto) | "xla" | "pallas".
+    """
+    if impl is None:
+        use_pallas = (
+            bias is None
+            and q.shape[1] >= _PALLAS_MIN_TOKENS
+            and _pallas_available()
+        )
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from minddiffusion_tpu.ops import flash_attention
+
+        return flash_attention.flash_attention(q, k, v, scale=scale)
+    return einsum_attention(q, k, v, scale=scale, bias=bias)

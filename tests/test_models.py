@@ -1,0 +1,107 @@
+"""Shape/dtype contract tests for the model zoo at tiny configs (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
+from minddiffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+from minddiffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+
+
+def tiny_unet_config(**kw):
+    return UNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(2, 1), channel_mult=(1, 2), num_heads=4,
+        transformer_depth=1, context_dim=16, **kw,
+    )
+
+
+def test_unet_forward_shapes():
+    cfg = tiny_unet_config()
+    model = UNetModel(cfg)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([0, 999])
+    ctx = jnp.zeros((2, 7, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == x.shape
+    assert out.dtype == jnp.float32
+
+
+def test_unet_zero_init_head_gives_zero_at_init():
+    cfg = tiny_unet_config()
+    model = UNetModel(cfg)
+    x = jnp.ones((1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jnp.ones((1, 7, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    # out_conv is zero-init, so the whole output must be exactly zero
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_unet_sd2_vs_sd1_head_split():
+    sd2 = UNetConfig.sd2()
+    assert sd2.head_split(320) == (5, 64)
+    assert sd2.head_split(1280) == (20, 64)
+    sd1 = UNetConfig.sd1()
+    assert sd1.head_split(320) == (8, 40)
+
+
+def test_unet_inpaint_9ch():
+    cfg = tiny_unet_config()
+    cfg = cfg.replace(in_channels=9)
+    model = UNetModel(cfg)
+    x = jnp.zeros((1, 16, 16, 9))
+    t = jnp.array([5])
+    ctx = jnp.zeros((1, 7, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (1, 16, 16, 4)
+
+
+def test_vae_roundtrip_shapes():
+    cfg = VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1, z_channels=4, embed_dim=4)
+    model = AutoencoderKL(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    moments = model.apply(params, x, method=model.encode)
+    # one downsample level (len(ch_mult)-1 = 1): 32 -> 16
+    assert moments.shape == (1, 16, 16, 8)
+    z = jnp.zeros((1, 16, 16, 4))
+    img = model.apply(params, z, method=model.decode)
+    assert img.shape == (1, 32, 32, 3)
+    assert img.dtype == jnp.float32
+
+
+def test_clip_text_encoder_shapes_and_causality():
+    cfg = CLIPTextConfig(vocab_size=64, width=32, layers=2, heads=4, context_length=8)
+    model = CLIPTextEncoder(cfg)
+    tokens = jnp.array([[1, 2, 3, 4, 0, 0, 0, 0]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    out = model.apply(params, tokens)
+    assert out.shape == (1, 8, 32)
+    # causality: changing a later token must not affect earlier positions
+    tokens2 = tokens.at[0, 5].set(7)
+    out2 = model.apply(params, tokens2)
+    np.testing.assert_allclose(np.asarray(out[:, :5]), np.asarray(out2[:, :5]),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(out[:, 5:]), np.asarray(out2[:, 5:]))
+
+
+def test_unet_lora_is_noop_at_init():
+    cfg = tiny_unet_config(enable_lora=True)
+    base_cfg = tiny_unet_config()
+    model = UNetModel(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 4), jnp.float32)
+    t = jnp.array([100])
+    ctx = jnp.asarray(np.random.RandomState(1).randn(1, 7, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    # lora_b zero-init => adapter contributes nothing at init
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    lora_bs = [l for p, l in flat if "lora_b" in jax.tree_util.keystr(p)]
+    assert lora_bs, "expected LoRA params present"
+    assert all((np.asarray(l) == 0).all() for l in lora_bs)
+    assert np.isfinite(np.asarray(out)).all()
