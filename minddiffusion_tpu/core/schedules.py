@@ -221,8 +221,11 @@ def make_ddim_timesteps(
     Matches reference util.py:134-148 ("uniform": range(0, T, T//S) + 1).
     """
     if method == "uniform":
+        # For S | T this is exactly the reference's range(0, T, T//S)+1. For
+        # non-dividing S the reference's arange overshoots and indexes out of
+        # range; we instead always emit exactly S in-range steps.
         c = num_ddpm_timesteps // num_ddim_timesteps
-        ts = np.arange(0, num_ddpm_timesteps, c, dtype=np.int64)
+        ts = np.arange(num_ddim_timesteps, dtype=np.int64) * c
     elif method == "quad":
         ts = (np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2).astype(
             np.int64

@@ -1,0 +1,9 @@
+from minddiffusion_tpu.parallel.mesh import (
+    MeshConfig,
+    make_mesh,
+    shard_params,
+    shard_batch,
+    replicate,
+)
+
+__all__ = ["MeshConfig", "make_mesh", "shard_params", "shard_batch", "replicate"]

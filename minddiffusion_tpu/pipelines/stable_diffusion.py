@@ -1,0 +1,268 @@
+"""Stable Diffusion pipelines: txt2img / img2img / inpaint as ONE XLA program.
+
+The reference orchestrates these as host loops over per-step device launches
+(stablediffusionv2/txt2img.py:248-265 -> plms.py:151-177: ~101 UNet graph
+launches per batch, plus separate text-encode and VAE-decode launches). Here
+`build_txt2img` returns a single jitted function
+
+    images_uint8 = fn(params, tokens, uncond_tokens, key)
+
+whose trace contains: CLIP encode of the folded [uncond; cond] token batch,
+the full `lax.scan` denoising chain with CFG on the batch axis, VAE decode,
+and uint8 quantization. One compilation, zero host round-trips, everything
+fused by XLA; the spatial self-attention inside runs the Pallas kernel.
+
+Model families (SURVEY.md §2.1-2.2):
+  * "sd2": CLIP-H (1024w/23L) + SD2 UNet (head_dim 64, linear-in-transformer),
+    PLMS-50 default (reference txt2img.py:101-157).
+  * "wukong": zh CLIP-L (768w/12L, QuickGELU) + SD1 UNet (8 heads), DPM-15
+    default (wukong scripts/run_txt2img.sh:21-32).
+  * "wukong-inpaint": 9-channel hybrid-conditioned UNet
+    (wukong configs *_inpaint_inference.yaml, inpaint.py:65-117).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minddiffusion_tpu.core import cfg as cfg_lib
+from minddiffusion_tpu.core import distributions, latents
+from minddiffusion_tpu.core.schedules import DiffusionSchedule
+from minddiffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
+from minddiffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+from minddiffusion_tpu.samplers import ddim, dpm_solver, plms
+
+
+@dataclasses.dataclass(frozen=True)
+class SDModels:
+    """Module bundle + schedule for one SD family (no params inside)."""
+
+    unet: UNetModel
+    vae: AutoencoderKL
+    text_encoder: CLIPTextEncoder
+    schedule: DiffusionSchedule
+    scale_factor: float = 0.18215
+
+    @property
+    def latent_factor(self) -> int:
+        """Spatial downsampling of the first stage (8 for the SD VAE)."""
+        return 2 ** (len(self.vae.config.ch_mult) - 1)
+
+    @classmethod
+    def create(
+        cls,
+        family: str = "sd2",
+        dtype: Any = jnp.bfloat16,
+        attn_impl: Optional[str] = None,
+        enable_lora: bool = False,
+        lora_rank: int = 4,
+        lora_alpha: float = 4.0,
+        unet_config: Optional[UNetConfig] = None,
+        vae_config: Optional[VAEConfig] = None,
+        text_config: Optional[CLIPTextConfig] = None,
+        timesteps: int = 1000,
+        linear_start: float = 0.00085,
+        linear_end: float = 0.0120,
+    ) -> "SDModels":
+        lora = dict(enable_lora=enable_lora, lora_rank=lora_rank, lora_alpha=lora_alpha)
+        if unet_config is None:
+            if family == "sd2":
+                unet_config = UNetConfig.sd2(dtype=dtype, attn_impl=attn_impl, **lora)
+            elif family == "wukong":
+                unet_config = UNetConfig.sd1(dtype=dtype, attn_impl=attn_impl, **lora)
+            elif family == "wukong-inpaint":
+                unet_config = UNetConfig.sd1_inpaint(dtype=dtype, attn_impl=attn_impl, **lora)
+            else:
+                raise ValueError(f"unknown SD family: {family!r}")
+        if text_config is None:
+            text_config = (
+                CLIPTextConfig.sd2_en(dtype=dtype)
+                if family == "sd2"
+                else CLIPTextConfig.wukong_zh(dtype=dtype)
+            )
+        if vae_config is None:
+            vae_config = VAEConfig(dtype=dtype)
+        schedule = DiffusionSchedule.create("linear", timesteps, linear_start, linear_end)
+        return cls(
+            unet=UNetModel(unet_config),
+            vae=AutoencoderKL(vae_config),
+            text_encoder=CLIPTextEncoder(text_config),
+            schedule=schedule,
+        )
+
+    def init_params(self, rng: jax.Array, height: int = 512, width: int = 512,
+                    context_length: int = 77) -> dict:
+        """Random-init full param set (for tests/benchmarks without a ckpt)."""
+        ru, rv, rt = jax.random.split(rng, 3)
+        f = self.latent_factor
+        h8, w8 = height // f, width // f
+        in_ch = self.unet.config.in_channels
+        ctx_dim = self.unet.config.context_dim
+        return {
+            "unet": self.unet.init(
+                ru, jnp.zeros((1, h8, w8, in_ch)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, context_length, ctx_dim)),
+            ),
+            "vae": self.vae.init(rv, jnp.zeros((1, 64, 64, 3))),
+            "text": self.text_encoder.init(rt, jnp.zeros((1, context_length), jnp.int32)),
+        }
+
+
+def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
+                 concat2b: Optional[jnp.ndarray] = None):
+    """CFG-wrapped eps model; optional per-step channel concat (inpaint)."""
+
+    def apply_fn(x2, t2, ctx2):
+        if concat2b is not None:
+            x2 = jnp.concatenate([x2, concat2b.astype(x2.dtype)], axis=-1)
+        return models.unet.apply(params["unet"], x2, t2, ctx2)
+
+    return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale)
+
+
+def _run_sampler(sampler: str, eps_fn, x_T, schedule, num_steps, key,
+                 mask=None, x0=None, t_start_index=None):
+    if sampler == "ddim":
+        return ddim.sample(eps_fn, x_T, schedule, num_steps=num_steps, key=key,
+                           mask=mask, x0=x0, t_start_index=t_start_index)
+    if sampler == "plms":
+        return plms.sample(eps_fn, x_T, schedule, num_steps=num_steps, key=key,
+                           mask=mask, x0=x0)
+    if sampler == "dpm":
+        return dpm_solver.sample(eps_fn, x_T, schedule, steps=num_steps, key=key,
+                                 mask=mask, x0=x0)
+    raise ValueError(f"unknown sampler: {sampler!r}")
+
+
+class StableDiffusionPipeline:
+    """Builds jitted end-to-end generation functions for one SDModels bundle."""
+
+    def __init__(self, models: SDModels):
+        self.models = models
+
+    # -- txt2img ----------------------------------------------------------
+
+    def build_txt2img(
+        self,
+        height: int = 512,
+        width: int = 512,
+        num_steps: int = 50,
+        sampler: str = "plms",
+        guidance_scale: float = 9.0,
+        batch_size: int = 1,
+    ) -> Callable:
+        """Returns jit(fn)(params, tokens, uncond_tokens, key) -> uint8 images.
+
+        tokens/uncond_tokens: (B, 77) int32. Defaults mirror the reference CLI
+        (txt2img.py:101-157: PLMS 50, scale 9.0 for SD2).
+        """
+        m = self.models
+        h8, w8 = height // m.latent_factor, width // m.latent_factor
+
+        def fn(params, tokens, uncond_tokens, key):
+            tok2 = jnp.concatenate([uncond_tokens, tokens], axis=0)
+            ctx2 = m.text_encoder.apply(params["text"], tok2)
+            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale)
+            key, knoise = jax.random.split(key)
+            x_T = jax.random.normal(knoise, (batch_size, h8, w8, 4), jnp.float32)
+            z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)
+            img = m.vae.apply(params["vae"], latents.unscale_latents(z, m.scale_factor),
+                              method=m.vae.decode)
+            return latents.unit_range_to_uint8(img)
+
+        return jax.jit(fn)
+
+    # -- img2img ----------------------------------------------------------
+
+    def build_img2img(
+        self,
+        height: int = 512,
+        width: int = 512,
+        num_steps: int = 50,
+        strength: float = 0.75,
+        sampler: str = "ddim",
+        guidance_scale: float = 9.0,
+    ) -> Callable:
+        """jit(fn)(params, init_image_f32[-1,1], tokens, uncond_tokens, key).
+
+        Encodes the init image, q_samples it to step floor(strength*S) of the
+        DDIM subsequence, then denoises from there (ddpm.py img2img
+        convention).
+        """
+        m = self.models
+        t_enc = int(strength * num_steps)
+        tables = ddim.build_tables(m.schedule, num_steps)
+        t_at = int(tables["t"][num_steps - t_enc])
+
+        def fn(params, init_image, tokens, uncond_tokens, key):
+            b = init_image.shape[0]
+            tok2 = jnp.concatenate([uncond_tokens, tokens], axis=0)
+            ctx2 = m.text_encoder.apply(params["text"], tok2)
+            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale)
+
+            key, kenc, knoise = jax.random.split(key, 3)
+            moments = m.vae.apply(params["vae"], init_image, method=m.vae.encode)
+            z0 = latents.scale_latents(distributions.sample(kenc, moments), m.scale_factor)
+            noise = jax.random.normal(knoise, z0.shape, jnp.float32)
+            t_vec = jnp.full((b,), t_at, jnp.int32)
+            x_mid = m.schedule.q_sample(z0, t_vec, noise)
+            z = _run_sampler(sampler, eps_fn, x_mid, m.schedule, num_steps, key,
+                             t_start_index=t_enc)
+            img = m.vae.apply(params["vae"], latents.unscale_latents(z, m.scale_factor),
+                              method=m.vae.decode)
+            return latents.unit_range_to_uint8(img)
+
+        return jax.jit(fn)
+
+    # -- inpaint (9-channel hybrid conditioning) ---------------------------
+
+    def build_inpaint(
+        self,
+        height: int = 512,
+        width: int = 512,
+        num_steps: int = 50,
+        sampler: str = "plms",
+        guidance_scale: float = 7.5,
+    ) -> Callable:
+        """jit(fn)(params, image, mask, tokens, uncond_tokens, key) -> uint8.
+
+        image: (B,H,W,3) fp32 in [-1,1]; mask: (B,H,W,1) fp32, 1 = region to
+        REPAINT (reference inpaint.py:39-63 binarizes at 0.5 and builds
+        masked_image = image * (mask < 0.5)). The UNet input is
+        concat(x_t, resized mask, VAE(masked_image)) = 9 channels, shared by
+        the cond and uncond branches (inpaint.py:76-92).
+        """
+        m = self.models
+        assert m.unet.config.in_channels == 9, "inpaint needs the 9-channel UNet"
+        h8, w8 = height // m.latent_factor, width // m.latent_factor
+
+        def fn(params, image, mask, tokens, uncond_tokens, key):
+            b = image.shape[0]
+            mask = (mask >= 0.5).astype(jnp.float32)
+            masked_image = image * (1.0 - mask)
+
+            tok2 = jnp.concatenate([uncond_tokens, tokens], axis=0)
+            ctx2 = m.text_encoder.apply(params["text"], tok2)
+
+            key, kenc, knoise = jax.random.split(key, 3)
+            moments = m.vae.apply(params["vae"], masked_image, method=m.vae.encode)
+            z_masked = latents.scale_latents(distributions.sample(kenc, moments),
+                                             m.scale_factor)
+            mask_lat = jax.image.resize(mask, (b, h8, w8, 1), "nearest")
+            c_cat = jnp.concatenate([mask_lat, z_masked], axis=-1)  # (B,h8,w8,5)
+            c_cat2 = jnp.concatenate([c_cat, c_cat], axis=0)
+
+            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale, concat2b=c_cat2)
+            x_T = jax.random.normal(knoise, (b, h8, w8, 4), jnp.float32)
+            z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)
+            img = m.vae.apply(params["vae"], latents.unscale_latents(z, m.scale_factor),
+                              method=m.vae.decode)
+            return latents.unit_range_to_uint8(img)
+
+        return jax.jit(fn)

@@ -18,6 +18,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# XLA:CPU compiles conv autodiff slowly; cache compilations across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,81 @@
+"""End-to-end pipeline tests at tiny configs: one jitted program per flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minddiffusion_tpu.models.clip import CLIPTextConfig
+from minddiffusion_tpu.models.unet import UNetConfig
+from minddiffusion_tpu.models.vae import VAEConfig
+from minddiffusion_tpu.pipelines.stable_diffusion import SDModels, StableDiffusionPipeline
+
+
+def tiny_models(in_channels=4):
+    return SDModels.create(
+        family="wukong", dtype=jnp.float32,
+        unet_config=UNetConfig(
+            in_channels=in_channels, model_channels=32, out_channels=4,
+            num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+            num_heads=4, context_dim=32,
+        ),
+        vae_config=VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1),
+        text_config=CLIPTextConfig(vocab_size=64, width=32, layers=1, heads=4,
+                                   context_length=8),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    models = tiny_models()
+    params = models.init_params(jax.random.PRNGKey(0), height=64, width=64,
+                                context_length=8)
+    return models, params
+
+
+def tokens(b, fill):
+    return jnp.full((b, 8), fill, jnp.int32)
+
+
+@pytest.mark.parametrize("sampler", ["ddim", "plms", "dpm"])
+def test_txt2img_all_samplers(setup, sampler):
+    models, params = setup
+    pipe = StableDiffusionPipeline(models)
+    fn = pipe.build_txt2img(height=64, width=64, num_steps=4, sampler=sampler,
+                            guidance_scale=7.5, batch_size=2)
+    img = fn(params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(1))
+    assert img.shape == (2, 64, 64, 3)
+    assert img.dtype == jnp.uint8
+    # deterministic for a fixed key
+    img2 = fn(params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+    # different key -> different image
+    img3 = fn(params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(img), np.asarray(img3))
+
+
+def test_img2img(setup):
+    models, params = setup
+    pipe = StableDiffusionPipeline(models)
+    fn = pipe.build_img2img(height=64, width=64, num_steps=4, strength=0.5)
+    init = jnp.zeros((1, 64, 64, 3))
+    img = fn(params, init, tokens(1, 3), tokens(1, 0), jax.random.PRNGKey(1))
+    assert img.shape == (1, 64, 64, 3)
+    assert img.dtype == jnp.uint8
+
+
+def test_inpaint_9ch():
+    models = tiny_models(in_channels=9)
+    params = models.init_params(jax.random.PRNGKey(0), height=64, width=64,
+                                context_length=8)
+    pipe = StableDiffusionPipeline(models)
+    fn = pipe.build_inpaint(height=64, width=64, num_steps=4)
+    image = jnp.zeros((1, 64, 64, 3))
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, 16:48, 16:48].set(1.0)
+    img = fn(params, image, mask, tokens(1, 3), tokens(1, 0), jax.random.PRNGKey(1))
+    assert img.shape == (1, 64, 64, 3)
+
+
+def test_inpaint_requires_9ch(setup):
+    models, _ = setup
+    with pytest.raises(AssertionError):
+        StableDiffusionPipeline(models).build_inpaint(height=64, width=64)

@@ -1,0 +1,133 @@
+"""Training step + mesh sharding tests on the virtual 8-device CPU mesh.
+
+This is the capability the reference cannot test without an Ascend cluster
+(SURVEY.md §4): the full distributed train step — batch sharded over
+(dp, fsdp), params FSDP-sharded, masked AdamW, finite guard — compiled and
+executed via pjit/GSPMD.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from minddiffusion_tpu.models.clip import CLIPTextConfig
+from minddiffusion_tpu.models.unet import UNetConfig
+from minddiffusion_tpu.parallel import mesh as mesh_lib
+from minddiffusion_tpu.pipelines.stable_diffusion import SDModels
+from minddiffusion_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+    trainable_mask,
+    warmup_then_decay,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    models = SDModels.create(
+        family="wukong", dtype=jnp.float32,
+        unet_config=UNetConfig(
+            in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+            attention_resolutions=(2,), channel_mult=(1, 2), num_heads=4,
+            context_dim=32,
+        ),
+        text_config=CLIPTextConfig(vocab_size=64, width=32, layers=1, heads=4,
+                                   context_length=8),
+    )
+    rng = jax.random.PRNGKey(0)
+    params = {
+        "unet": models.unet.init(rng, jnp.zeros((1, 8, 8, 4)),
+                                 jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 32))),
+        "text": models.text_encoder.init(rng, jnp.zeros((1, 8), jnp.int32)),
+    }
+    return models, params
+
+
+def test_lr_schedule_warmup_and_decay():
+    sched = warmup_then_decay(1e-3, 1e-5, warmup_steps=100, decay_steps=1000)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(50)), 5e-4, rtol=1e-6)
+    # decay is computed on the *global* step (reference learningrate.py:52-60),
+    # so at the warmup boundary the cosine has already advanced to frac=0.1
+    expected_100 = 1e-5 + 0.5 * (1e-3 - 1e-5) * (1 + np.cos(np.pi * 0.1))
+    np.testing.assert_allclose(float(sched(100)), expected_100, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(1000)), 1e-5, rtol=1e-5)
+    # monotone decreasing after warmup
+    assert float(sched(200)) > float(sched(500)) > float(sched(900))
+
+
+def test_trainable_mask_modes(tiny_setup):
+    _, params = tiny_setup
+    m_unet = trainable_mask(params, "unet")
+    assert all(jax.tree.leaves(m_unet["unet"]))
+    assert not any(jax.tree.leaves(m_unet["text"]))
+    m_all = trainable_mask(params, "all")
+    assert all(jax.tree.leaves(m_all))
+
+
+def test_train_step_on_mesh_updates_unet_only(tiny_setup):
+    models, params = tiny_setup
+    mesh = mesh_lib.make_mesh(mesh_lib.MeshConfig(dp=-1, fsdp=2, tp=1))
+    assert dict(mesh.shape) == {"dp": 4, "fsdp": 2, "tp": 1}
+
+    config = TrainConfig(trainable="unet", warmup_steps=0, start_lr=1e-3)
+    state = create_train_state(models, params, config)
+    step_fn = make_train_step(models, config)
+    state = jax.device_put(state, mesh_lib.param_shardings(state, mesh))
+
+    batch = {
+        "latent": jax.random.normal(jax.random.PRNGKey(2), (16, 8, 8, 4)),
+        "tokens": jnp.ones((16, 8), jnp.int32),
+    }
+    batch = jax.tree.map(lambda x: jax.device_put(x, mesh_lib.batch_sharding(mesh)), batch)
+
+    jitted = jax.jit(step_fn)
+    new_state, metrics = jitted(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grads_finite"]) == 1.0
+    assert int(new_state.step) == 1
+
+    # unet params moved, text params frozen
+    unet_delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_state.params["unet"],
+        state.params["unet"],
+    )
+    assert max(jax.tree.leaves(unet_delta)) > 0
+    text_delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_state.params["text"],
+        state.params["text"],
+    )
+    assert max(jax.tree.leaves(text_delta)) == 0.0
+
+    # second step runs from the updated state (shardings preserved)
+    new_state2, metrics2 = jitted(new_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_fsdp_param_sharding_rule(tiny_setup):
+    models, params = tiny_setup
+    mesh = mesh_lib.make_mesh(mesh_lib.MeshConfig(dp=-1, fsdp=2, tp=1))
+    sharded = mesh_lib.shard_params(params, mesh)
+    # at least one large param is actually sharded over fsdp
+    specs = jax.tree.leaves(
+        jax.tree.map(lambda x: str(x.sharding.spec), sharded)
+    )
+    assert any("fsdp" in s for s in specs), specs
+
+
+def test_dreambooth_double_loss(tiny_setup):
+    models, params = tiny_setup
+    config = TrainConfig(trainable="unet", prior_loss_weight=0.5, warmup_steps=0)
+    state = create_train_state(models, params, config)
+    step_fn = make_train_step(models, config, dreambooth=True)
+    batch = {
+        "latent": jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 4)),
+        "tokens": jnp.ones((4, 8), jnp.int32),
+        "reg_latent": jax.random.normal(jax.random.PRNGKey(4), (4, 8, 8, 4)),
+        "reg_tokens": jnp.full((4, 8), 2, jnp.int32),
+    }
+    new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(5))
+    t, r, tot = (float(metrics[k]) for k in ("train_loss", "reg_loss", "loss"))
+    np.testing.assert_allclose(tot, t + 0.5 * r, rtol=1e-6)
