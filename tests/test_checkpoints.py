@@ -1,0 +1,48 @@
+"""Orbax checkpoint round-trips: params, retention, partial (LoRA-style)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minddiffusion_tpu.io.checkpoints import (
+    CheckpointManager,
+    load_checkpoint,
+    merge_params,
+    save_checkpoint,
+    trainable_only,
+)
+
+
+def test_save_load_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,), jnp.int32)}}
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, tree)
+    restored = load_checkpoint(p)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(restored["b"]["c"]), np.asarray(tree["b"]["c"]))
+    # typed restore against a target
+    restored2 = load_checkpoint(p, target=tree)
+    assert restored2["b"]["c"].dtype == jnp.int32
+
+
+def test_manager_retention_and_latest(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "run"), save_every_steps=1, keep_max=2)
+    for step in range(4):
+        tree = {"w": jnp.full((2,), float(step))}
+        assert mgr.maybe_save(step, tree)
+    mgr.close()
+    mgr2 = CheckpointManager(str(tmp_path / "run"), save_every_steps=1, keep_max=2)
+    latest = mgr2.restore_latest()
+    np.testing.assert_array_equal(np.asarray(latest["w"]), [3.0, 3.0])
+    mgr2.close()
+
+
+def test_partial_lora_checkpoint_roundtrip():
+    params = {"unet": {"w": jnp.ones((2,)), "lora_a": jnp.full((2,), 2.0)}}
+    mask = {"unet": {"w": False, "lora_a": True}}
+    partial = trainable_only(params, mask)
+    assert partial["unet"]["w"] is None
+    base = {"unet": {"w": jnp.zeros((2,)), "lora_a": jnp.zeros((2,))}}
+    merged = merge_params(base, partial)
+    np.testing.assert_array_equal(np.asarray(merged["unet"]["w"]), [0, 0])
+    np.testing.assert_array_equal(np.asarray(merged["unet"]["lora_a"]), [2, 2])
