@@ -67,6 +67,9 @@ class CheckpointManager:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+
     def close(self):
         self._mgr.close()
 
