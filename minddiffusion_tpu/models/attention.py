@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from minddiffusion_tpu.models.layers import GroupNorm32, LayerNormFp32, conv1x1, dense
-from minddiffusion_tpu.ops.attention import dot_product_attention
+from minddiffusion_tpu.ops.attention import packed_attention
 
 Dtype = Any
 
@@ -81,15 +81,7 @@ class CrossAttention(nn.Module):
         q = self._proj(inner, False, "to_q")(x)
         k = self._proj(inner, False, "to_k")(ctx)
         v = self._proj(inner, False, "to_v")(ctx)
-
-        b, nq, _ = q.shape
-        nk = k.shape[1]
-        q = q.reshape(b, nq, self.heads, self.dim_head)
-        k = k.reshape(b, nk, self.heads, self.dim_head)
-        v = v.reshape(b, nk, self.heads, self.dim_head)
-
-        out = dot_product_attention(q, k, v, impl=self.attn_impl)
-        out = out.reshape(b, nq, inner)
+        out = packed_attention(q, k, v, self.heads, impl=self.attn_impl)
         return self._proj(self.query_dim, True, "to_out")(out)
 
 

@@ -38,7 +38,7 @@ from minddiffusion_tpu.models.layers import (
     timestep_embedding,
 )
 from minddiffusion_tpu.models.unet import Downsample, ResBlock, Upsample
-from minddiffusion_tpu.ops.attention import dot_product_attention
+from minddiffusion_tpu.ops.attention import packed_attention
 
 Dtype = Any
 
@@ -70,11 +70,7 @@ class XfBlock(nn.Module):
         h = LayerNormFp32(name="ln_1")(x)
         qkv = dense(3 * w, self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = dot_product_attention(
-            q.reshape(b, l, self.heads, d),
-            k.reshape(b, l, self.heads, d),
-            v.reshape(b, l, self.heads, d),
-        ).reshape(b, l, w)
+        out = packed_attention(q, k, v, self.heads)
         x = x + dense(w, self.dtype, name="out_proj")(out)
         h = LayerNormFp32(name="ln_2")(x)
         h = dense(4 * w, self.dtype, name="mlp_fc")(h)
@@ -140,13 +136,7 @@ class GlideAttentionBlock(nn.Module):
             ek, ev = jnp.split(ekv, 2, axis=-1)
             k = jnp.concatenate([ek, k], axis=1)
             v = jnp.concatenate([ev, v], axis=1)
-        nk = k.shape[1]
-        out = dot_product_attention(
-            q.reshape(b, n, self.heads, d),
-            k.reshape(b, nk, self.heads, d),
-            v.reshape(b, nk, self.heads, d),
-            impl=self.attn_impl,
-        ).reshape(b, n, c)
+        out = packed_attention(q, k, v, self.heads, impl=self.attn_impl)
         out = dense(c, self.dtype, zero_init=True, name="proj_out")(out)
         return x + out.reshape(b, h, w, c)
 

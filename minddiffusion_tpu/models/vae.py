@@ -23,7 +23,7 @@ from flax import linen as nn
 from flax import struct
 
 from minddiffusion_tpu.models.layers import GroupNorm32, conv1x1, conv3x3, nearest_upsample_2x
-from minddiffusion_tpu.ops.attention import dot_product_attention
+from minddiffusion_tpu.ops.attention import packed_attention
 
 Dtype = Any
 
@@ -68,10 +68,10 @@ class AttnBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         y = GroupNorm32(eps=1e-6, name="norm")(x)
-        q = conv1x1(c, self.dtype, name="q")(y).reshape(b, h * w, 1, c)
-        k = conv1x1(c, self.dtype, name="k")(y).reshape(b, h * w, 1, c)
-        v = conv1x1(c, self.dtype, name="v")(y).reshape(b, h * w, 1, c)
-        out = dot_product_attention(q, k, v)
+        q = conv1x1(c, self.dtype, name="q")(y).reshape(b, h * w, c)
+        k = conv1x1(c, self.dtype, name="k")(y).reshape(b, h * w, c)
+        v = conv1x1(c, self.dtype, name="v")(y).reshape(b, h * w, c)
+        out = packed_attention(q, k, v, heads=1)
         out = out.reshape(b, h, w, c)
         out = conv1x1(c, self.dtype, name="proj_out")(out)
         return x + out

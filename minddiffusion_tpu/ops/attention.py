@@ -82,3 +82,45 @@ def dot_product_attention(
 
         return flash_attention.flash_attention(q, k, v, scale=scale)
     return einsum_attention(q, k, v, scale=scale, bias=bias)
+
+
+# VMEM budget for the packed (heads-unsplit) kernel: K, V and a q tile's score
+# row must fit on-chip together.
+_PACKED_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def packed_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Attention on packed (B, N, C=H*D) tensors — the model's native layout.
+
+    On TPU at spatial lengths this dispatches to the heads-packed Pallas
+    kernel, which never materializes a head transpose (the (B,H,N,D) relayout
+    copies cost real HBM time in-graph) and loads K/V once per q tile for all
+    heads. Falls back to the head-split paths otherwise.
+    """
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    if impl is None and q.shape[1] >= _PALLAS_MIN_TOKENS and _pallas_available():
+        vmem = nk * c * 2 * 2 + 128 * nk * 4 + 128 * c * 6
+        if vmem <= _PACKED_VMEM_BUDGET:
+            from minddiffusion_tpu.ops import flash_attention
+
+            return flash_attention.flash_attention_packed(
+                q, k, v, scale=float(scale), heads=heads, block_q=128)
+    out = dot_product_attention(
+        q.reshape(b, nq, heads, d),
+        k.reshape(b, nk, heads, d),
+        v.reshape(b, nk, heads, d),
+        scale=scale,
+        impl=impl,
+    )
+    return out.reshape(b, nq, c)
