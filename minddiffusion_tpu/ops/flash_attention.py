@@ -312,6 +312,9 @@ def flash_attention_packed(
             bytes_accessed=2 * b * (nq + 2 * nk) * c,
             transcendentals=b * heads * nq * nk,
         ),
+        # double-buffered K/V at Nk*C can exceed XLA's default 16M scoped-vmem
+        # budget; v5e has 128M physical VMEM, so allow more
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v)
     return out[:, :nq]
