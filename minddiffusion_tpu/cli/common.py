@@ -51,7 +51,16 @@ def load_params(models, ckpt_path: Optional[str], height: int, width: int,
         if ckpt_path.endswith(".safetensors"):
             sd = sd_weights.load_safetensors(ckpt_path)
         else:
-            sd = sd_weights.load_torch_checkpoint(ckpt_path)
+            with open(ckpt_path, "rb") as f:
+                magic = f.read(4)
+            if magic[:2] in (b"PK", b"\x80\x02", b"\x80\x03", b"\x80\x04", b"\x80\x05"):
+                sd = sd_weights.load_torch_checkpoint(ckpt_path)
+            else:
+                # MindSpore protobuf checkpoint (the reference's format)
+                from minddiffusion_tpu.io.ms_checkpoint import (
+                    load_ms_checkpoint, ms_to_ldm_names)
+
+                sd = ms_to_ldm_names(load_ms_checkpoint(ckpt_path))
         abstract = {
             "unet": jax.eval_shape(lambda: models.unet.init(
                 jax.random.PRNGKey(0),

@@ -1,21 +1,20 @@
-"""DPM-Solver++ (multistep, data-prediction) as one `lax.scan` program.
+"""DPM-Solver++ multistep (orders 1-3, data-prediction) as one `lax.scan`.
 
-Implements the solver configuration the reference actually ships and runs:
-DPM-Solver++ 2M — `DPM_Solver(model_fn, ns, predict_x0=True).sample(steps,
-skip_type="time_uniform", method="multistep", order=2, lower_order_final=True)`
-(wukong-huahua/ldm/models/diffusion/dpm_solver/sampler.py:76-92), over a
-discrete NoiseScheduleVP built from alphas_cumprod (dpm_solver.py:20-168).
+Implements the solver configurations the reference ships: the default
+DPM-Solver++ 2M the samplers actually run — `DPM_Solver(model_fn, ns,
+predict_x0=True).sample(steps, skip_type="time_uniform", method="multistep",
+order=2, lower_order_final=True)`
+(wukong-huahua/ldm/models/diffusion/dpm_solver/sampler.py:76-92) — plus the
+order-3 multistep update (dpm_solver.py:799-845) with the same order ramp
+(order grows 1->2->3 over the first steps; lower_order_final drops the last
+steps' order for steps < 15, dpm_solver.py:1081-1113).
 
 TPU-first inversion: the reference interpolates log-alpha(t) on device per
 step; here every per-step scalar — lambda/sigma/alpha at the time nodes, the
-expm1 coefficients, the order flags — is precomputed host-side in fp64, and
-the scan body is just [model eval -> 3 fused multiply-adds]. Orders 1 and 2
-share one update rule (the second-difference term is gated by a 0/1 flag),
-so there is no control flow in the compiled step at all.
-
-Order 3 multistep and singlestep variants of the reference library are not yet
-ported; order-2 multistep is the only configuration any reference entry point
-uses.
+expm1 coefficients, the r0/r1 step-size ratios, the order gates — is
+precomputed host-side in fp64, and the scan body is the model eval plus a
+handful of fused multiply-adds. Orders are blended by 0/1 gate tables, so the
+compiled step contains no control flow at all.
 """
 from __future__ import annotations
 
@@ -44,9 +43,9 @@ def build_tables(
     order: int = 2,
     lower_order_final: bool = True,
 ):
-    """Host-side fp64 tables for the 2M solver. Returns dict of (steps,) arrays."""
-    if order not in (1, 2):
-        raise NotImplementedError("multistep order must be 1 or 2 (reference default: 2)")
+    """Host-side fp64 tables for multistep orders 1-3. Dict of (steps,) arrays."""
+    if order not in (1, 2, 3):
+        raise NotImplementedError("multistep order must be 1, 2 or 3")
     ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
     N = ac.shape[0]
     t_disc = np.arange(1, N + 1, dtype=np.float64) / N
@@ -61,25 +60,32 @@ def build_tables(
     # t_input = (t_continuous - 1/N) * 1000, spanning [0, 999].
     model_t = (t_nodes - 1.0 / N) * 1000.0
 
-    h = lam[1:] - lam[:-1]  # (steps,), step i updates node i-1 -> node i
+    h = lam[1:] - lam[:-1]                       # step i: node i -> i+1
+    safe_h = np.where(h != 0, h, 1.0)
     h_prev = np.concatenate([[h[0]], h[:-1]])
-    r0 = np.where(h != 0, h_prev / np.where(h != 0, h, 1.0), 1.0)
+    h_prev2 = np.concatenate([[h[0], h[0]], h[:-2]])
+    r0 = h_prev / safe_h
+    r1 = h_prev2 / safe_h
     phi = np.expm1(-h)
 
+    # per-step solver order with ramp + lower_order_final
     idx = np.arange(1, steps + 1)
-    use_order2 = (idx >= 2).astype(np.float64)
-    if order == 1:
-        use_order2[:] = 0.0
-    elif lower_order_final and steps < 15:
-        use_order2[-1] = 0.0
+    step_order = np.minimum(order, idx)
+    if lower_order_final and steps < 15:
+        step_order = np.minimum(step_order, steps + 1 - idx)
+    o2 = (step_order >= 2).astype(np.float64)
+    o3 = (step_order >= 3).astype(np.float64)
 
     return dict(
-        model_t=common.as_f32(model_t),  # (steps+1,)
+        model_t=common.as_f32(model_t),          # (steps+1,)
         ratio=common.as_f32(sigma[1:] / sigma[:-1]),
-        alpha_phi=common.as_f32(alpha[1:] * phi),
-        r0=common.as_f32(r0),
-        order2=common.as_f32(use_order2),
-        # for data prediction at each node:
+        c0=common.as_f32(alpha[1:] * phi),       # alpha_t * (e^{-h} - 1)
+        cd1=common.as_f32(alpha[1:] * (phi / safe_h + 1.0)),
+        cd2=common.as_f32(alpha[1:] * ((phi + h) / safe_h**2 - 0.5)),
+        r0=common.as_f32(np.where(r0 != 0, r0, 1.0)),
+        r1=common.as_f32(np.where(r1 != 0, r1, 1.0)),
+        o2=common.as_f32(o2),
+        o3=common.as_f32(o3),
         node_alpha=common.as_f32(alpha),
         node_sigma=common.as_f32(sigma),
     )
@@ -97,29 +103,38 @@ def sample(
     x0: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """DPM-Solver++ 2M. `eps_fn(x, t_float)` takes *float* model times in [0, 999]."""
+    """DPM-Solver++ multistep. `eps_fn(x, t_float)` takes model times in [0, 999]."""
     T = build_tables(schedule, steps, skip_type, order, lower_order_final)
     batch = x_T.shape[0]
     n = steps
 
     keys = common.per_step_keys(key, n)
-    # Masked blend uses integer original-timesteps; derive them by rounding.
     blend = common.masked_blend_fn(
         mask, x0, schedule.sqrt_alphas_cumprod, schedule.sqrt_one_minus_alphas_cumprod
     )
 
-    def data_pred(x, i_node_t, a, s):
-        eps = eps_fn(x, common.broadcast_t(i_node_t, batch)).astype(jnp.float32)
+    def data_pred(x, t_node, a, s):
+        eps = eps_fn(x, common.broadcast_t(t_node, batch)).astype(jnp.float32)
         return (x - s * eps) / a
 
     x_init = x_T.astype(jnp.float32)
     m0 = data_pred(x_init, T["model_t"][0], T["node_alpha"][0], T["node_sigma"][0])
 
     def step(carry, per_step):
-        x, m_new, m_old = carry
-        i, ratio, alpha_phi, r0, o2, mt, na, ns_, k = per_step
-        d1 = (m_new - m_old) / r0
-        x = ratio * x - alpha_phi * m_new - 0.5 * alpha_phi * (o2 * d1)
+        x, m_0, m_1, m_2 = carry
+        i, ratio, c0, cd1, cd2, r0, r1, o2, o3, mt, na, ns_, k = per_step
+
+        d1_0 = (m_0 - m_1) / r0
+        d1_1 = (m_1 - m_2) / r1
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
+
+        x = (
+            ratio * x
+            - c0 * m_0
+            - 0.5 * c0 * (o2 * (1.0 - o3)) * d1_0          # 2M correction
+            + o3 * (cd1 * d1 - cd2 * d2)                   # 3M correction
+        )
         if mask is not None:
             t_int = jnp.clip(mt.astype(jnp.int32), 0, schedule.num_timesteps - 1)
             x = blend(x, common.broadcast_t(t_int, batch), k)
@@ -127,19 +142,17 @@ def sample(
         def evaluate(x_):
             return data_pred(x_, mt, na, ns_)
 
-        m_next = jax.lax.cond(i < n - 1, evaluate, lambda x_: m_new, x)
-        return (x, m_next, m_new), None
+        m_next = jax.lax.cond(i < n - 1, evaluate, lambda x_: m_0, x)
+        return (x, m_next, m_0, m_1), None
 
     xs = (
-        jnp.arange(n, dtype=jnp.int32),
-        T["ratio"],
-        T["alpha_phi"],
-        T["r0"],
-        T["order2"],
-        T["model_t"][1:],
-        T["node_alpha"][1:],
-        T["node_sigma"][1:],
+        np.arange(n, dtype=np.int32),
+        T["ratio"], T["c0"], T["cd1"], T["cd2"], T["r0"], T["r1"],
+        T["o2"], T["o3"],
+        T["model_t"][1:], T["node_alpha"][1:], T["node_sigma"][1:],
         keys,
     )
-    (x_final, _, _), _ = jax.lax.scan(step, (x_init, m0, jnp.zeros_like(m0)), xs)
+    (x_final, _, _, _), _ = jax.lax.scan(
+        step, (x_init, m0, jnp.zeros_like(m0), jnp.zeros_like(m0)), xs
+    )
     return x_final

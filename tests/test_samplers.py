@@ -215,3 +215,14 @@ def test_cfg_fold_guide():
     guided = cfg.wrap_model(apply_fn, folded, scale=1.0)
     out = guided(jnp.zeros((2, 4)), jnp.zeros((2,)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(c))
+
+
+def test_dpm_solver_order3(sched, x_star, x_T):
+    eps_fn = make_continuous_oracle(sched, x_star)
+    out = dpm_solver.sample(eps_fn, x_T, sched, steps=15, order=3)
+    expected = _dpm_expected(sched, 15, x_star, x_T, order=3)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-3, rtol=0)
+    # order ramp: first steps are gated to lower order
+    T = dpm_solver.build_tables(sched, 15, order=3)
+    assert T["o2"][0] == 0 and T["o3"][0] == 0 and T["o3"][1] == 0
+    assert T["o3"][2] == 1
