@@ -41,6 +41,13 @@ from minddiffusion_tpu.models.srgan import SRGANGenerator
 from minddiffusion_tpu.samplers import ancestral
 
 
+def create_glide_models(**kwargs) -> "GlideModels":
+    """Module-level factory for `instantiate_from_config` YAML targets."""
+    if "dtype" in kwargs and isinstance(kwargs["dtype"], str):
+        kwargs["dtype"] = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[kwargs["dtype"]]
+    return GlideModels.create(**kwargs)
+
+
 def quantize_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
     """uint8 round-trip the super-res conditioning (gaussian_diffusion.py:307-313)."""
     return jnp.round((x + 1.0) * 127.5) / 127.5 - 1.0

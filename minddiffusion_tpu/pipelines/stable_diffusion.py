@@ -39,6 +39,13 @@ from minddiffusion_tpu.models.vae import AutoencoderKL, VAEConfig
 from minddiffusion_tpu.samplers import ddim, dpm_solver, plms
 
 
+def create_sd_models(**kwargs) -> "SDModels":
+    """Module-level factory for `instantiate_from_config` YAML targets."""
+    if "dtype" in kwargs and isinstance(kwargs["dtype"], str):
+        kwargs["dtype"] = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[kwargs["dtype"]]
+    return SDModels.create(**kwargs)
+
+
 @dataclasses.dataclass(frozen=True)
 class SDModels:
     """Module bundle + schedule for one SD family (no params inside)."""

@@ -104,3 +104,16 @@ def test_kv_logger_mean_and_dump(tmp_path):
     assert logged[0]["loss"] == 2.0
     # state cleared
     assert lg.dumpkvs() == {}
+
+
+def test_yaml_model_configs_instantiate():
+    """Every shipped YAML config's model target must build (tiny dtype check
+    only, no params initialized)."""
+    import glob
+
+    from minddiffusion_tpu.utils.config import instantiate_from_config, load_yaml
+
+    for path in glob.glob("configs/*.yaml"):
+        cfg = load_yaml(path)
+        obj = instantiate_from_config(cfg["model"])
+        assert obj is not None, path
