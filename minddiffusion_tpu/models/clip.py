@@ -104,7 +104,7 @@ class CLIPTextEncoder(nn.Module):
             "positional_embedding", nn.initializers.normal(0.01),
             (cfg.context_length, cfg.width), jnp.float32,
         )
-        x = jnp.take(tok_emb, tokens, axis=0).astype(cfg.dtype)
+        x = jnp.take(tok_emb, tokens, axis=0, mode='clip').astype(cfg.dtype)
         x = x + pos_emb[None, : x.shape[1]].astype(cfg.dtype)
 
         l = x.shape[1]

@@ -92,7 +92,9 @@ class XfTextEncoder(nn.Module):
                              (cfg.n_vocab, cfg.width), jnp.float32)
         pos_emb = self.param("positional_embedding", nn.initializers.normal(0.01),
                              (cfg.text_ctx, cfg.width), jnp.float32)
-        x = jnp.take(tok_emb, tokens, axis=0).astype(cfg.dtype)
+        # mode='clip': jax fills OOB gathers with NaN by default; clamp
+        # instead so stray token ids degrade gracefully
+        x = jnp.take(tok_emb, tokens, axis=0, mode='clip').astype(cfg.dtype)
         x = x + pos_emb[None].astype(cfg.dtype)
         if cfg.xf_padding:
             pad_emb = self.param("padding_embedding", nn.initializers.normal(0.01),

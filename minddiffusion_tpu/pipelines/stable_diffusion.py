@@ -163,11 +163,14 @@ class StableDiffusionPipeline:
         sampler: str = "plms",
         guidance_scale: float = 9.0,
         batch_size: int = 1,
+        mesh=None,
     ) -> Callable:
         """Returns jit(fn)(params, tokens, uncond_tokens, key) -> uint8 images.
 
         tokens/uncond_tokens: (B, 77) int32. Defaults mirror the reference CLI
-        (txt2img.py:101-157: PLMS 50, scale 9.0 for SD2).
+        (txt2img.py:101-157: PLMS 50, scale 9.0 for SD2). Pass a
+        `jax.sharding.Mesh` to serve one batch data-parallel across chips
+        (batch_size must divide the mesh's dp*fsdp extent).
         """
         m = self.models
         h8, w8 = height // m.latent_factor, width // m.latent_factor
@@ -183,7 +186,22 @@ class StableDiffusionPipeline:
                               method=m.vae.decode)
             return latents.unit_range_to_uint8(img)
 
-        return jax.jit(fn)
+        if mesh is None:
+            return jax.jit(fn)
+        # Multi-chip serving: params replicated, request batch split over the
+        # mesh's data axes — XLA partitions the whole program (the reference's
+        # only scale-out story is running independent processes per chip).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from minddiffusion_tpu.parallel.mesh import batch_sharding
+
+        bsh = batch_sharding(mesh)
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            fn,
+            in_shardings=(repl, bsh, bsh, repl),
+            out_shardings=bsh,
+        )
 
     # -- img2img ----------------------------------------------------------
 
