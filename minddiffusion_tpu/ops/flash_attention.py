@@ -141,6 +141,7 @@ def _flash_bhnd(
             bytes_accessed=2 * bh * (nq + 2 * nk) * d,
             transcendentals=bh * nq * nk,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v)
 
@@ -359,6 +360,16 @@ def flash_attention(
 
     qb = min(block_q, max(8, nq))
     kb = min(block_k, max(128, nk))
+    # budget the on-chip footprint (double-buffered k/v tiles + the fp32
+    # score tile dominate); large head dims (VAE: single head, D=512) would
+    # otherwise blow the compiler's scoped-vmem stack
+    def footprint(qb_, kb_):
+        return 2 * 2 * (kb_ * d * 2) + qb_ * kb_ * 4 + 4 * qb_ * d + qb_ * 1024
+    budget = 10 * 1024 * 1024
+    while footprint(qb, kb) > budget and kb > 512:
+        kb //= 2
+    while footprint(qb, kb) > budget and qb > 128:
+        qb //= 2
     if nk % kb:
         kb = _largest_divisor_block(nk, kb)
 
