@@ -109,13 +109,19 @@ def packed_attention(
     d = c // heads
     if scale is None:
         scale = d ** -0.5
-    if impl is None and q.shape[1] >= _PALLAS_MIN_TOKENS and _pallas_available():
+    if (impl in (None, "pallas_fast") and q.shape[1] >= _PALLAS_MIN_TOKENS
+            and _pallas_available()):
         vmem = nk * c * 2 * 2 + 128 * nk * 4 + 128 * c * 6
         if vmem <= _PACKED_VMEM_BUDGET:
             from minddiffusion_tpu.ops import flash_attention
 
             return flash_attention.flash_attention_packed(
-                q, k, v, scale=float(scale), heads=heads, block_q=128)
+                q, k, v, scale=float(scale), heads=heads, block_q=128,
+                # "pallas_fast": static-shift softmax (exact below logit 108),
+                # ~7% faster on the VPU-bound SD shapes — serving opt-in
+                exact=impl != "pallas_fast")
+    if impl == "pallas_fast":
+        impl = None
     out = dot_product_attention(
         q.reshape(b, nq, heads, d),
         k.reshape(b, nk, heads, d),
