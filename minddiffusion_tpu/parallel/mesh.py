@@ -53,35 +53,64 @@ def make_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
 
 
-def _param_spec(path_leaf: Any, mesh: Mesh) -> P:
-    """FSDP rule: shard the largest axis divisible by the fsdp size."""
+# Tensor-parallel rules (live when mesh tp > 1): Megatron-style column/row
+# split of the attention and FF projections — the capability the reference
+# declares but never instantiates (parallel_transformer.py:641-868).
+_TP_COL = ("to_q", "to_k", "to_v", "qkv", "mlp_fc", "geglu", "encoder_kv")
+_TP_ROW = ("to_out", "out_proj", "mlp_proj")
+
+
+def _tp_dim(path_str: str, shape) -> int | None:
+    """Which dim (if any) the tp axis shards for this param."""
+    if len(shape) != 2:
+        return None
+    if any(f"/{k}/" in path_str or f"'{k}'" in path_str for k in _TP_COL):
+        return 1  # column parallel: split output features
+    if any(f"/{k}/" in path_str or f"'{k}'" in path_str for k in _TP_ROW):
+        return 0  # row parallel: split input features
+    return None
+
+
+def _param_spec(path_str: str, leaf: Any, mesh: Mesh) -> P:
+    """Sharding rule: optional tp split on attention/FF projections, then
+    FSDP on the largest remaining divisible axis."""
     fsdp = mesh.shape["fsdp"]
-    shape = getattr(path_leaf, "shape", ())
-    if fsdp == 1 or not shape:
-        return P()
-    # pick the largest divisible dim
-    best, best_size = None, 0
-    for i, d in enumerate(shape):
-        if d % fsdp == 0 and d > best_size:
-            best, best_size = i, d
-    if best is None:
+    tp = mesh.shape["tp"]
+    shape = getattr(leaf, "shape", ())
+    if not shape:
         return P()
     spec = [None] * len(shape)
-    spec[best] = "fsdp"
+    if tp > 1:
+        td = _tp_dim(path_str, shape)
+        if td is not None and shape[td] % tp == 0:
+            spec[td] = "tp"
+    if fsdp > 1:
+        best, best_size = None, 0
+        for i, d in enumerate(shape):
+            if spec[i] is None and d % fsdp == 0 and d > best_size:
+                best, best_size = i, d
+        if best is not None:
+            spec[best] = "fsdp"
     return P(*spec)
 
 
+def _path_str(path) -> str:
+    return "/" + "/".join(str(getattr(k, "key", k)) for k in path) + "/"
+
+
 def shard_params(params, mesh: Mesh):
-    """Place a param pytree on the mesh under the FSDP rule (replicated on dp/tp)."""
-    def place(leaf):
-        spec = _param_spec(leaf, mesh)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-    return jax.tree.map(place, params)
+    """Place a param pytree on the mesh (tp + FSDP rules; replicated on dp)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: jax.device_put(
+            l, NamedSharding(mesh, _param_spec(_path_str(p), l, mesh))),
+        params)
 
 
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree matching shard_params (for jit in/out shardings)."""
-    return jax.tree.map(lambda l: NamedSharding(mesh, _param_spec(l, mesh)), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: NamedSharding(mesh, _param_spec(_path_str(p), l, mesh)),
+        params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -131,3 +131,36 @@ def test_dreambooth_double_loss(tiny_setup):
     new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(5))
     t, r, tot = (float(metrics[k]) for k in ("train_loss", "reg_loss", "loss"))
     np.testing.assert_allclose(tot, t + 0.5 * r, rtol=1e-6)
+
+
+def test_tp_axis_shards_attention_projections(tiny_setup):
+    models, params = tiny_setup
+    mesh = mesh_lib.make_mesh(mesh_lib.MeshConfig(dp=-1, fsdp=2, tp=2))
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "tp": 2}
+    sharded = mesh_lib.shard_params(params, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(sharded)
+    tp_specs = [str(l.sharding.spec) for p, l in flat
+                if "to_q" in jax.tree_util.keystr(p) and l.ndim == 2]
+    assert tp_specs and all("tp" in s for s in tp_specs), tp_specs
+    row_specs = [str(l.sharding.spec) for p, l in flat
+                 if "to_out" in jax.tree_util.keystr(p) and l.ndim == 2]
+    assert row_specs and all("tp" in s for s in row_specs), row_specs
+
+
+def test_train_step_with_tp_mesh(tiny_setup):
+    """Full train step over dp2 x fsdp2 x tp2 — the reference's declared-but-
+    dead tensor-parallel capability, live and executing."""
+    models, params = tiny_setup
+    mesh = mesh_lib.make_mesh(mesh_lib.MeshConfig(dp=-1, fsdp=2, tp=2))
+    config = TrainConfig(trainable="unet", warmup_steps=0, start_lr=1e-3)
+    state = create_train_state(models, params, config)
+    state = jax.device_put(state, mesh_lib.param_shardings(state, mesh))
+    step_fn = make_train_step(models, config)
+    batch = {
+        "latent": jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 4)),
+        "tokens": jnp.ones((8, 8), jnp.int32),
+    }
+    batch = jax.tree.map(lambda x: jax.device_put(x, mesh_lib.batch_sharding(mesh)), batch)
+    new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grads_finite"]) == 1.0
