@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--debug_tiny", action="store_true",
                    help="miniature model for smoke tests (random weights)")
+    p.add_argument("--dump_hlo", type=str, default=None,
+                   help="write the optimized HLO of the pipeline program here "
+                        "(reference --save_graph equivalent)")
     return p
 
 
@@ -64,6 +67,11 @@ def main(argv=None) -> list:
     uncond = jnp.asarray(tokenizer.tokenize([args.negative_prompt] * args.n_samples))
 
     key = jax.random.PRNGKey(args.seed)
+    if args.dump_hlo:
+        compiled = fn.lower(params, tokens, uncond, key).compile()
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"wrote optimized HLO to {args.dump_hlo}")
     all_paths = []
     for it in range(args.n_iter):
         key, sub = jax.random.split(key)
