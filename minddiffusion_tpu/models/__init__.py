@@ -1,3 +1,3 @@
-from minddiffusion_tpu.models import layers, attention, unet, vae, clip
+from minddiffusion_tpu.models import attention, clip, glide, layers, lora, srgan, unet, vae
 
-__all__ = ["layers", "attention", "unet", "vae", "clip"]
+__all__ = ["attention", "clip", "glide", "layers", "lora", "srgan", "unet", "vae"]

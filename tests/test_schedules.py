@@ -113,3 +113,20 @@ def test_respace_preserves_alpha_bar():
     tmap = np.asarray(sched.timestep_map)
     assert (np.diff(tmap) > 0).all()
     np.testing.assert_allclose(np.asarray(sched.alphas_cumprod), base_ac[tmap], rtol=1e-5)
+
+
+def test_ddim_timesteps_quad():
+    ts = S.make_ddim_timesteps(20, 1000, method="quad")
+    assert ts.shape == (20,)
+    assert ts[0] >= 1 and ts[-1] <= 1000
+    assert (np.diff(ts) >= 0).all()
+    # quadratic spacing: later gaps strictly larger than early gaps
+    assert np.diff(ts)[-1] > np.diff(ts)[0]
+
+
+def test_nondividing_ddim_steps_stay_in_range():
+    # reference's arange overshoots for S that does not divide T; ours must not
+    for s_count in (3, 7, 13, 37):
+        ts = S.make_ddim_timesteps(s_count, 1000)
+        assert ts.shape == (s_count,)
+        assert ts.max() < 1000 and ts.min() >= 1
