@@ -62,3 +62,16 @@ def test_fast_softmax_matches_exact():
     b_ = flash_attention(q, k, v, exact_softmax=False, block_q=128, block_k=256,
                          interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_conv3x3_kernel_parity():
+    from minddiffusion_tpu.ops.conv3x3 import conv3x3_pallas
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16, 32))
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 32, 64)) * 0.1
+    bias = jax.random.normal(jax.random.PRNGKey(2), (64,))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    out = conv3x3_pallas(x, k, bias, block_rows=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
