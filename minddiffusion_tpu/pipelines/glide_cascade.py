@@ -13,9 +13,10 @@ Reference flow (Taichu-GLIDE/src/txt2img.py:78-158, main_funcs.py:21-69):
 
 TPU inversions: each diffusion stage is one lax.scan XLA program; the xf text
 transformer runs ONCE per stage (the reference re-runs it inside all 87 UNet
-calls); random uncond tokens are drawn once per generation by default
-(resample_uncond_per_step=True restores exact per-step parity at the cost of
-folding the xf into the scan).
+calls); random uncond tokens are drawn once per
+generation — a documented divergence (PARITY.md) from the reference's
+per-step re-draw, which would fold the 16-layer xf back into the scan for a
+statistically equivalent noise baseline.
 """
 from __future__ import annotations
 
