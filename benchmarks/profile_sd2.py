@@ -1,0 +1,90 @@
+"""Profile the SD2 txt2img program on TPU and print the per-op breakdown.
+
+Traces a short (few-step) build of the same jitted program the bench runs,
+parses the xplane with xprof's op_profile converter, and prints the top ops
+by self-time. Run from the repo root.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
+
+from minddiffusion_tpu.pipelines.stable_diffusion import SDModels, StableDiffusionPipeline  # noqa: E402
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    trace_dir = "/tmp/sd2_trace"
+    os.system(f"rm -rf {trace_dir}")
+
+    models = SDModels.create(family="sd2", dtype=jnp.bfloat16)
+    params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    pipe = StableDiffusionPipeline(models)
+    fn = pipe.build_txt2img(height=512, width=512, num_steps=steps,
+                            sampler="ddim", guidance_scale=9.0, batch_size=8)
+    tokens = jnp.ones((8, 77), jnp.int32)
+    uncond = jnp.zeros((8, 77), jnp.int32)
+
+    img = fn(params, tokens, uncond, jax.random.PRNGKey(1))
+    np.asarray(img[0, 0, 0])
+
+    t0 = time.time()
+    img = fn(params, tokens, uncond, jax.random.PRNGKey(2))
+    np.asarray(img[0, 0, 0])
+    wall = time.time() - t0
+    print(f"steady-state wall for {steps} steps batch 8: {wall:.3f}s", file=sys.stderr)
+
+    jax.profiler.start_trace(trace_dir)
+    img = fn(params, tokens, uncond, jax.random.PRNGKey(3))
+    np.asarray(img[0, 0, 0])
+    jax.profiler.stop_trace()
+
+    pbs = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    print(f"xplane files: {pbs}", file=sys.stderr)
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(pbs, "op_profile", {})
+    prof = json.loads(data) if isinstance(data, (str, bytes)) else data
+    out = "/tmp/sd2_op_profile.json"
+    with open(out, "w") as f:
+        json.dump(prof, f)
+    print(f"wrote {out}", file=sys.stderr)
+
+    # walk byProgram/byCategory tree and print top self-time ops
+    def walk(node, path, acc):
+        ms = node.get("metrics", {})
+        children = node.get("children", [])
+        if not children:
+            acc.append((ms.get("rawTime", ms.get("time", 0.0)),
+                        ms.get("flops", 0.0), "/".join(path[-3:]),
+                        node.get("name", "?")))
+        for ch in children:
+            walk(ch, path + [node.get("name", "?")], acc)
+
+    root = prof.get("byCategory") or prof.get("byProgram") or prof
+    acc = []
+    walk(root, [], acc)
+    acc.sort(reverse=True)
+    total = sum(a[0] for a in acc)
+    print(f"total self time: {total:.4g}")
+    for t, fl, path, name in acc[:40]:
+        print(f"{t/ total*100:6.2f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--W", type=int, default=512)
     p.add_argument("--sampling_steps", type=int, default=50)
-    p.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default=None,
+    p.add_argument("--sampler",
+                   choices=["plms", "ddim", "dpm", "dpm_singlestep",
+                            "dpm_adaptive"],
+                   default=None,
                    help="default: plms for sd2 (reference txt2img.py:143), "
                         "dpm for wukong (run_txt2img.sh:27)")
     p.add_argument("--scale", type=float, default=None,

@@ -144,6 +144,14 @@ def _run_sampler(sampler: str, eps_fn, x_T, schedule, num_steps, key,
     if sampler == "dpm":
         return dpm_solver.sample(eps_fn, x_T, schedule, steps=num_steps, key=key,
                                  mask=mask, x0=x0)
+    if sampler == "dpm_singlestep":
+        return dpm_solver.sample_singlestep(eps_fn, x_T, schedule,
+                                            steps=num_steps, key=key,
+                                            mask=mask, x0=x0)
+    if sampler == "dpm_adaptive":
+        # reference `method="adaptive"` (dpm_solver.py:1047-1052); num_steps
+        # is ignored — the solver controls its own step size
+        return dpm_solver.sample_adaptive(eps_fn, x_T, schedule)
     raise ValueError(f"unknown sampler: {sampler!r}")
 
 

@@ -1,20 +1,30 @@
-"""DPM-Solver++ multistep (orders 1-3, data-prediction) as one `lax.scan`.
+"""DPM-Solver++ (data-prediction) samplers: multistep, singlestep, adaptive.
 
-Implements the solver configurations the reference ships: the default
-DPM-Solver++ 2M the samplers actually run — `DPM_Solver(model_fn, ns,
-predict_x0=True).sample(steps, skip_type="time_uniform", method="multistep",
-order=2, lower_order_final=True)`
-(wukong-huahua/ldm/models/diffusion/dpm_solver/sampler.py:76-92) — plus the
-order-3 multistep update (dpm_solver.py:799-845) with the same order ramp
-(order grows 1->2->3 over the first steps; lower_order_final drops the last
-steps' order for steps < 15, dpm_solver.py:1081-1113).
+Implements the full solver surface the reference ships
+(wukong-huahua/ldm/models/diffusion/dpm_solver/dpm_solver.py):
+
+* multistep orders 1-3 — the default DPM-Solver++ 2M the reference samplers
+  actually run: `DPM_Solver(model_fn, ns, predict_x0=True).sample(steps,
+  skip_type="time_uniform", method="multistep", order=2,
+  lower_order_final=True)` (sampler.py:76-92), order ramp 1->2->3 and
+  lower_order_final for steps < 15 (dpm_solver.py:1081-1113).
+* singlestep orders 1-3 (dpm_solver.py:846-957): steps are grouped into
+  order-sized bundles of sequential model evals at intermediate lambda nodes
+  (`get_orders_and_timesteps_for_singlestep_solver`), r1/r2 from uniform
+  inner time splits.
+* adaptive step-size solver (dpm_solver.py:959-1124 `dpm_solver_adaptive`):
+  step doubling with an (order-1, order) embedded pair, E-norm error control
+  (atol 0.0078, rtol 0.05, theta 0.9), as a `lax.while_loop`.
 
 TPU-first inversion: the reference interpolates log-alpha(t) on device per
 step; here every per-step scalar — lambda/sigma/alpha at the time nodes, the
 expm1 coefficients, the r0/r1 step-size ratios, the order gates — is
-precomputed host-side in fp64, and the scan body is the model eval plus a
-handful of fused multiply-adds. Orders are blended by 0/1 gate tables, so the
-compiled step contains no control flow at all.
+precomputed host-side in fp64. The multistep scan body is the model eval plus
+a handful of fused multiply-adds with orders blended by 0/1 gate tables (no
+compiled control flow); singlestep scans over uniform max-order groups with
+the <=2 lower-order tail groups unrolled statically; only the adaptive mode
+keeps data-dependent control flow, in the one construct XLA supports for it
+(`lax.while_loop` with on-device schedule interpolation).
 """
 from __future__ import annotations
 
@@ -155,4 +165,293 @@ def sample(
     (x_final, _, _, _), _ = jax.lax.scan(
         step, (x_init, m0, jnp.zeros_like(m0), jnp.zeros_like(m0)), xs
     )
+    return x_final
+
+
+# ---------------------------------------------------------------------------
+# singlestep (reference dpm_solver.py:846-957)
+# ---------------------------------------------------------------------------
+
+
+def _orders_for_singlestep(steps: int, order: int):
+    """Group sizes per outer step (get_orders_and_timesteps_for_singlestep_solver,
+    reference dpm_solver.py:846-905)."""
+    if order == 3:
+        K = steps // 3 + 1
+        if steps % 3 == 0:
+            return [3] * (K - 2) + [2, 1]
+        if steps % 3 == 1:
+            return [3] * (K - 1) + [1]
+        return [3] * (K - 1) + [2]
+    if order == 2:
+        if steps % 2 == 0:
+            return [2] * (steps // 2)
+        return [2] * (steps // 2) + [1]
+    if order == 1:
+        return [1] * steps
+    raise NotImplementedError("singlestep order must be 1, 2 or 3")
+
+
+def build_singlestep_groups(
+    schedule: DiffusionSchedule, steps: int, order: int = 2,
+    skip_type: str = "time_uniform",
+):
+    """Host-side per-group coefficient dicts for the singlestep solver.
+
+    Each group of size k holds: eval nodes (model_t, alpha, sigma) x k and the
+    combine scalars of the order-k update (reference second/third updates,
+    dpm_solver.py:530-640; r1/r2 from uniform inner splits, :936-943).
+    """
+    ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    N = ac.shape[0]
+    t_disc = np.arange(1, N + 1, dtype=np.float64) / N
+    log_alpha_disc = 0.5 * np.log(ac)
+
+    def marginals(t):
+        la = np.interp(t, t_disc, log_alpha_disc)
+        alpha = np.exp(la)
+        sigma = np.sqrt(np.maximum(1.0 - np.exp(2.0 * la), 1e-20))
+        lam = la - np.log(sigma)
+        return alpha, sigma, lam
+
+    orders = _orders_for_singlestep(steps, order)
+    t_seq = _time_nodes(steps, t_T=1.0, t_0=1.0 / N, skip_type=skip_type)
+    outer_idx = np.cumsum([0] + orders)
+    t_outer = t_seq[outer_idx]
+
+    groups = []
+    for g, k in enumerate(orders):
+        s, t = t_outer[g], t_outer[g + 1]
+        inner = _time_nodes(k, t_T=s, t_0=t, skip_type=skip_type)
+        a, sg, lam = marginals(inner)
+        h = lam[-1] - lam[0]
+        phi_1 = np.expm1(-h)
+        co = dict(order=k)
+        co["ev_mt"] = [(ti - 1.0 / N) * 1000.0 for ti in inner[:k]]
+        co["ev_a"] = list(a[:k])
+        co["ev_s"] = list(sg[:k])
+        co["at"] = sg[-1] / sg[0]
+        co["bt"] = -a[-1] * phi_1
+        co["t_int"] = int(np.clip((t - 1.0 / N) * 1000.0, 0, N - 1))
+        if k >= 2:
+            r1 = (lam[1] - lam[0]) / h
+            phi_11 = np.expm1(-r1 * h)
+            co["a1"] = sg[1] / sg[0]
+            co["b1"] = -a[1] * phi_11
+            if k == 2:
+                co["ct"] = -(0.5 / r1) * a[-1] * phi_1
+            else:
+                r2 = (lam[2] - lam[0]) / h
+                phi_12 = np.expm1(-r2 * h)
+                phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
+                phi_2 = phi_1 / h + 1.0
+                co["a2"] = sg[2] / sg[0]
+                co["b2"] = -a[2] * phi_12
+                co["c2"] = (r2 / r1) * a[2] * phi_22
+                co["ct"] = (1.0 / r2) * a[-1] * phi_2
+        groups.append(co)
+    return groups
+
+
+def sample_singlestep(
+    eps_fn: common.EpsFn,
+    x_T: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    steps: int = 15,
+    order: int = 2,
+    skip_type: str = "time_uniform",
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """DPM-Solver++ singlestep (reference `method="singlestep"`,
+    dpm_solver.py:1053-1080): `lax.scan` over the uniform max-order groups,
+    the <=2 lower-order tail groups statically unrolled."""
+    groups = build_singlestep_groups(schedule, steps, order, skip_type)
+    batch = x_T.shape[0]
+    blend = common.masked_blend_fn(
+        mask, x0, schedule.sqrt_alphas_cumprod, schedule.sqrt_one_minus_alphas_cumprod
+    )
+    keys = common.per_step_keys(key, len(groups))
+
+    def data_pred(x, mt, a, s):
+        eps = eps_fn(x, common.broadcast_t(mt, batch)).astype(jnp.float32)
+        return (x - s * eps) / a
+
+    def group_update(x, co, k):
+        m_s = data_pred(x, co["ev_mt"][0], co["ev_a"][0], co["ev_s"][0])
+        if k == 1:
+            return co["at"] * x + co["bt"] * m_s
+        x_s1 = co["a1"] * x + co["b1"] * m_s
+        m_s1 = data_pred(x_s1, co["ev_mt"][1], co["ev_a"][1], co["ev_s"][1])
+        if k == 2:
+            return co["at"] * x + co["bt"] * m_s + co["ct"] * (m_s1 - m_s)
+        x_s2 = co["a2"] * x + co["b2"] * m_s + co["c2"] * (m_s1 - m_s)
+        m_s2 = data_pred(x_s2, co["ev_mt"][2], co["ev_a"][2], co["ev_s"][2])
+        return co["at"] * x + co["bt"] * m_s + co["ct"] * (m_s2 - m_s)
+
+    # uniform prefix -> scan; tail -> unrolled
+    n_prefix = 0
+    while n_prefix < len(groups) and groups[n_prefix]["order"] == order:
+        n_prefix += 1
+    x = x_T.astype(jnp.float32)
+
+    if n_prefix:
+        scalar_names = [n for n in groups[0] if n not in ("order", "ev_mt",
+                                                          "ev_a", "ev_s")]
+        stacked = {
+            n: common.as_f32([g[n] for g in groups[:n_prefix]])
+            for n in scalar_names if n != "t_int"
+        }
+        stacked["t_int"] = common.as_i32([g["t_int"] for g in groups[:n_prefix]])
+        for field in ("ev_mt", "ev_a", "ev_s"):
+            stacked[field] = common.as_f32([g[field] for g in groups[:n_prefix]])
+
+        def step(x, per):
+            co, k = per
+            co = dict(co)
+            co["ev_mt"] = [co["ev_mt"][j] for j in range(order)]
+            co["ev_a"] = [co["ev_a"][j] for j in range(order)]
+            co["ev_s"] = [co["ev_s"][j] for j in range(order)]
+            x = group_update(x, co, order)
+            if mask is not None:
+                x = blend(x, common.broadcast_t(co["t_int"], batch), k)
+            return x, None
+
+        x, _ = jax.lax.scan(step, x, (stacked, keys[:n_prefix]))
+
+    for g in range(n_prefix, len(groups)):
+        co = groups[g]
+        x = group_update(x, co, co["order"])
+        if mask is not None:
+            x = blend(x, common.broadcast_t(jnp.int32(co["t_int"]), batch),
+                      keys[g])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# adaptive (reference dpm_solver.py:959-1124 `dpm_solver_adaptive`)
+# ---------------------------------------------------------------------------
+
+
+def sample_adaptive(
+    eps_fn: common.EpsFn,
+    x_T: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    order: int = 3,
+    atol: float = 0.0078,
+    rtol: float = 0.05,
+    h_init: float = 0.05,
+    theta: float = 0.9,
+    t_err: float = 1e-5,
+    max_nfe: int = 1000,
+) -> jnp.ndarray:
+    """Adaptive step-size DPM-Solver++ with an embedded (order-1, order) pair
+    and step doubling, matching the reference's `dpm_solver_adaptive`:
+    accept when the sample-wise RMS of (x_high - x_low)/delta is <= 1, then
+    h <- min(theta * h * E^(-1/order), lambda_0 - lambda_s). Data-dependent
+    trip count -> `lax.while_loop`; the t<->lambda maps interpolate the
+    discrete schedule on device (the reference's interpolate_fn,
+    dpm_solver.py:1126-1172, rebuilt as jnp.interp over fp32 tables)."""
+    if order not in (2, 3):
+        raise NotImplementedError("adaptive order must be 2 or 3")
+    ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    N = ac.shape[0]
+    t_disc = np.arange(1, N + 1, dtype=np.float64) / N
+    log_alpha_disc = 0.5 * np.log(ac)
+    sigma_disc = np.sqrt(np.maximum(1.0 - ac, 1e-20))
+    lam_disc = log_alpha_disc - np.log(sigma_disc)
+
+    t_tab = jnp.asarray(t_disc, jnp.float32)
+    la_tab = jnp.asarray(log_alpha_disc, jnp.float32)
+    # lambda decreases with t: flip for jnp.interp's ascending-x requirement
+    lam_asc = jnp.asarray(lam_disc[::-1].copy(), jnp.float32)
+    t_desc = jnp.asarray(t_disc[::-1].copy(), jnp.float32)
+
+    def marginals(t):
+        la = jnp.interp(t, t_tab, la_tab)
+        alpha = jnp.exp(la)
+        sigma = jnp.sqrt(jnp.maximum(1.0 - jnp.exp(2.0 * la), 1e-20))
+        lam = la - jnp.log(sigma)
+        return alpha, sigma, lam
+
+    def t_of_lam(lam):
+        return jnp.interp(lam, lam_asc, t_desc)
+
+    t_T, t_0 = 1.0, 1.0 / N
+    _, _, lam_T = marginals(jnp.float32(t_T))
+    _, _, lam_0 = marginals(jnp.float32(t_0))
+
+    batch = x_T.shape[0]
+
+    def data_pred(x, t):
+        a, s, _ = marginals(t)
+        mt = (t - 1.0 / N) * 1000.0
+        eps = eps_fn(x, common.broadcast_t(mt, batch)).astype(jnp.float32)
+        return (x - s * eps) / a
+
+    def pair_update(x, t_s, t_t):
+        """(x_lower of order-1 [order 2] / order-2 [order 3], x_higher)."""
+        a_s, s_s, lam_s = marginals(t_s)
+        a_t, s_t, lam_t = marginals(t_t)
+        h = lam_t - lam_s
+        phi_1 = jnp.expm1(-h)
+        m_s = data_pred(x, t_s)
+        if order == 2:
+            x_low = s_t / s_s * x - a_t * phi_1 * m_s       # first_update
+            r1 = 0.5
+            lam_s1 = lam_s + r1 * h
+            t_s1 = t_of_lam(lam_s1)
+            a_s1, s_s1, _ = marginals(t_s1)
+            x_s1 = s_s1 / s_s * x - a_s1 * jnp.expm1(-r1 * h) * m_s
+            m_s1 = data_pred(x_s1, t_s1)
+            x_high = (s_t / s_s * x - a_t * phi_1 * m_s
+                      - (0.5 / r1) * a_t * phi_1 * (m_s1 - m_s))
+        else:
+            r1, r2 = 1.0 / 3.0, 2.0 / 3.0
+            lam_s1 = lam_s + r1 * h
+            lam_s2 = lam_s + r2 * h
+            t_s1, t_s2 = t_of_lam(lam_s1), t_of_lam(lam_s2)
+            a_s1, s_s1, _ = marginals(t_s1)
+            a_s2, s_s2, _ = marginals(t_s2)
+            x_s1 = s_s1 / s_s * x - a_s1 * jnp.expm1(-r1 * h) * m_s
+            m_s1 = data_pred(x_s1, t_s1)
+            x_low = (s_t / s_s * x - a_t * phi_1 * m_s      # second_update
+                     - (0.5 / r1) * a_t * phi_1 * (m_s1 - m_s))
+            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            x_s2 = (s_s2 / s_s * x - a_s2 * jnp.expm1(-r2 * h) * m_s
+                    + (r2 / r1) * a_s2 * phi_22 * (m_s1 - m_s))
+            m_s2 = data_pred(x_s2, t_s2)
+            x_high = (s_t / s_s * x - a_t * phi_1 * m_s
+                      + (1.0 / r2) * a_t * phi_2 * (m_s2 - m_s))
+        return x_low, x_high
+
+    def cond(carry):
+        x, x_prev, lam_s, h, nfe = carry
+        return jnp.logical_and(lam_s < lam_0 - t_err, nfe < max_nfe)
+
+    def body(carry):
+        x, x_prev, lam_s, h, nfe = carry
+        t_s = t_of_lam(lam_s)
+        t_t = t_of_lam(lam_s + h)
+        x_low, x_high = pair_update(x, t_s, t_t)
+        delta = jnp.maximum(
+            jnp.float32(atol),
+            rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        err = (x_high - x_low) / delta
+        E = jnp.max(jnp.sqrt(jnp.mean(
+            err.reshape(err.shape[0], -1) ** 2, axis=-1)))
+        accept = E <= 1.0
+        x = jnp.where(accept, x_high, x)
+        x_prev = jnp.where(accept, x_low, x_prev)
+        _, _, lam_t = marginals(t_t)
+        lam_s = jnp.where(accept, lam_t, lam_s)
+        h = jnp.minimum(theta * h * jnp.maximum(E, 1e-10) ** (-1.0 / order),
+                        lam_0 - lam_s)
+        return (x, x_prev, lam_s, h, nfe + order)
+
+    x = x_T.astype(jnp.float32)
+    carry = (x, x, lam_T, jnp.float32(h_init), jnp.int32(0))
+    x_final, _, _, _, _ = jax.lax.while_loop(cond, body, carry)
     return x_final

@@ -169,6 +169,29 @@ def test_dpm_solver_order1(sched, x_star, x_T):
     np.testing.assert_allclose(np.asarray(out), expected, atol=2e-3, rtol=0)
 
 
+@pytest.mark.parametrize("order,steps", [(1, 12), (2, 12), (2, 13), (3, 12),
+                                         (3, 13), (3, 14)])
+def test_dpm_singlestep_exact_under_oracle(sched, x_star, x_T, order, steps):
+    # under the exact continuous oracle every data prediction is exact, so
+    # each singlestep group lands exactly on the trajectory; group/tail
+    # bookkeeping (incl. the mixed-order tails of steps % order != 0) is
+    # what's actually exercised here
+    eps_fn = make_continuous_oracle(sched, x_star)
+    out = jax.jit(lambda x: dpm_solver.sample_singlestep(
+        eps_fn, x, sched, steps=steps, order=order))(x_T)
+    expected = _dpm_expected(sched, steps, x_star, x_T, order=min(order, 3))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-3, rtol=0)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_dpm_adaptive_under_oracle(sched, x_star, x_T, order):
+    eps_fn = make_continuous_oracle(sched, x_star)
+    out = jax.jit(lambda x: dpm_solver.sample_adaptive(
+        eps_fn, x, sched, order=order))(x_T)
+    expected = _dpm_expected(sched, 15, x_star, x_T)  # same endpoint marginals
+    np.testing.assert_allclose(np.asarray(out), expected, atol=5e-3, rtol=0)
+
+
 def test_dpm_solver_discrete_oracle_converges(sched, x_star, x_T):
     # with the *integer-timestep* oracle (as a real UNet trained on discrete t
     # behaves), the solver still converges to x_star up to the rounding error
