@@ -11,9 +11,12 @@ Reference behavior (Taichu-GLIDE/model/glide_text2im/tokenizer/):
     — in this framework the uncond half is drawn on-device inside the
     cascade pipeline, so only cond prep is needed host-side.
 
-sentencepiece is an optional dependency (not in the base image): the wrapper
-raises a clear error at construction if it is unavailable. The en BPE reuses
-the from-scratch byte-level BPE in bpe_clip.py machinery with GPT-2 assets.
+The sentencepiece *library* is optional (not in the base image): when absent,
+the wrapper transparently falls back to the vendored from-scratch runtime in
+`sentencepiece_mini.py` (hand-rolled ModelProto parser + unigram Viterbi /
+BPE merges), so the Chinese GLIDE path tokenizes out of the box. The en BPE
+reuses the from-scratch byte-level BPE in bpe_clip.py machinery with GPT-2
+assets.
 """
 from __future__ import annotations
 
@@ -29,13 +32,15 @@ class GlideSentencePieceTokenizer:
     def __init__(self, model_path: str):
         try:
             import sentencepiece as spm
-        except ImportError as e:  # pragma: no cover - env without sentencepiece
-            raise ImportError(
-                "sentencepiece is required for the Chinese GLIDE tokenizer; "
-                "install it or use token ids prepared offline"
-            ) from e
-        self.sp = spm.SentencePieceProcessor()
-        self.sp.Load(model_path)
+
+            self.sp = spm.SentencePieceProcessor()
+            self.sp.Load(model_path)
+        except ImportError:  # vendored fallback (see module docstring)
+            from minddiffusion_tpu.text.sentencepiece_mini import (
+                SentencePieceProcessor,
+            )
+
+            self.sp = SentencePieceProcessor(model_path)
 
     @property
     def n_vocab(self) -> int:

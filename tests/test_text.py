@@ -87,3 +87,87 @@ def test_glide_padded_tokens_and_mask():
     assert mask == [1, 1, 1, 0, 0, 0]
     toks2, mask2 = padded_tokens_and_mask(list(range(10)), 4, end_token=99)
     assert toks2 == [0, 1, 2, 3] and mask2 == [1, 1, 1, 1]
+
+
+# --- vendored sentencepiece runtime (text/sentencepiece_mini.py) ------------
+
+def _varint(n):
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _field_bytes(num, payload):
+    return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _field_varint(num, val):
+    return _varint(num << 3) + _varint(val)
+
+
+def _piece(text, score, ptype=1):
+    import struct
+    body = _field_bytes(1, text.encode("utf-8"))
+    body += _varint((2 << 3) | 5) + struct.pack("<f", score)
+    body += _field_varint(3, ptype)
+    return _field_bytes(1, body)
+
+
+def _make_model(pieces, model_type=1):
+    """pieces: list of (text, score, type). Hand-encoded ModelProto."""
+    data = b"".join(_piece(*p) for p in pieces)
+    trainer = _field_varint(3, model_type) + _field_varint(40, 0)
+    data += _field_bytes(2, trainer)
+    data += _field_bytes(3, _field_varint(3, 1))  # add_dummy_prefix=True
+    return data
+
+
+def test_sentencepiece_mini_unigram(tmp_path):
+    # vocab chosen so Viterbi must pick the two-char piece over singles
+    pieces = [
+        ("<unk>", 0.0, 2),
+        ("▁", -2.0, 1),
+        ("你", -3.0, 1),        # ni
+        ("好", -3.0, 1),        # hao
+        ("你好", -4.0, 1),  # nihao (beats -3 + -3)
+        ("▁你好", -9.0, 1),  # worse than split
+        ("a", -5.0, 1), ("b", -5.0, 1), ("ab", -7.0, 1),
+    ]
+    path = tmp_path / "toy.model"
+    path.write_bytes(_make_model(pieces))
+    from minddiffusion_tpu.text.glide_text import GlideSentencePieceTokenizer
+
+    tok = GlideSentencePieceTokenizer(str(path))
+    assert tok.n_vocab == len(pieces) + 1
+    ids = tok.encode("你好")
+    # normalized "▁你好": ▁(-2) + 你好(-4) = -6 beats ▁你好(-9) and singles(-8)
+    assert ids == [1, 4]
+    assert tok.decode(ids + [tok.end_token]) == "你好"
+    # unknown char falls back to unk id
+    ids2 = tok.encode("你ж")
+    assert ids2[-1] == 0
+    # ab: "ab" piece scores -7 < a+b -10 -> merged piece wins
+    assert tok.encode("ab") == [1, 8]
+
+
+def test_sentencepiece_mini_bpe(tmp_path):
+    pieces = [
+        ("<unk>", 0.0, 2),
+        ("▁", -1.0, 1),
+        ("a", -2.0, 1), ("b", -2.0, 1), ("c", -2.0, 1),
+        ("ab", -0.5, 1),   # best-ranked merge
+        ("abc", -0.7, 1),
+    ]
+    path = tmp_path / "toy_bpe.model"
+    path.write_bytes(_make_model(pieces, model_type=2))
+    from minddiffusion_tpu.text.sentencepiece_mini import SentencePieceProcessor
+
+    sp = SentencePieceProcessor(str(path))
+    # "abc" -> ▁ a b c -> merge ab (-0.5) -> merge abc (-0.7)
+    assert sp.EncodeAsPieces("abc") == ["▁", "abc"]
+    assert sp.DecodeIds(sp.EncodeAsIds("abc")) == "abc"
