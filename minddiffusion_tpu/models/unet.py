@@ -55,6 +55,10 @@ class UNetConfig:
     use_linear_in_transformer: bool = False
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
+    # adm (class-label) conditioning: label embedding added to the t-embedding
+    # (reference ddpm.py:360-379 'adm' DiffusionWrapper branch +
+    # openaimodel.py num_classes/label_emb path)
+    num_classes: Optional[int] = None
     dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
     remat: bool = False
     enable_lora: bool = False
@@ -174,6 +178,7 @@ class UNetModel(nn.Module):
         x: jnp.ndarray,
         timesteps: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
+        y: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.config
         time_embed_dim = cfg.model_channels * 4
@@ -181,6 +186,13 @@ class UNetModel(nn.Module):
         t_emb = timestep_embedding(timesteps, cfg.model_channels)
         emb = dense(time_embed_dim, cfg.dtype, name="time_embed_0")(t_emb.astype(cfg.dtype))
         emb = dense(time_embed_dim, cfg.dtype, name="time_embed_2")(nn.silu(emb))
+        if cfg.num_classes is not None:
+            # 'adm' class conditioning (openaimodel.py label_emb): y (B,) int
+            if y is None:
+                raise ValueError("num_classes set but no class labels given")
+            emb = emb + nn.Embed(
+                cfg.num_classes, time_embed_dim, dtype=cfg.dtype,
+                param_dtype=jnp.float32, name="label_emb")(y)
 
         h = x.astype(cfg.dtype)
         if context is not None:

@@ -122,13 +122,18 @@ class SDModels:
 
 
 def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
-                 concat2b: Optional[jnp.ndarray] = None):
-    """CFG-wrapped eps model; optional per-step channel concat (inpaint)."""
+                 concat2b: Optional[jnp.ndarray] = None,
+                 class_labels2b: Optional[jnp.ndarray] = None):
+    """CFG-wrapped eps model covering every DiffusionWrapper conditioning key
+    of the reference (ddpm.py:360-379): crossattn (context2b), concat /
+    hybrid (concat2b channel concat, inpaint), adm (class_labels2b added to
+    the t-embedding via the UNet label_emb)."""
 
     def apply_fn(x2, t2, ctx2):
         if concat2b is not None:
             x2 = jnp.concatenate([x2, concat2b.astype(x2.dtype)], axis=-1)
-        return models.unet.apply(params["unet"], x2, t2, ctx2)
+        return models.unet.apply(params["unet"], x2, t2, ctx2,
+                                 y=class_labels2b)
 
     return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale)
 

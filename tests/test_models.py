@@ -105,3 +105,39 @@ def test_unet_lora_is_noop_at_init():
     assert lora_bs, "expected LoRA params present"
     assert all((np.asarray(l) == 0).all() for l in lora_bs)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_adm_class_conditioning():
+    """'adm' conditioning: label embedding added to t-emb (ddpm.py:360-379)."""
+    import jax
+    import jax.numpy as jnp
+    from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4,
+                     num_res_blocks=1, attention_resolutions=(2,),
+                     channel_mult=(1, 2), num_heads=4, context_dim=32,
+                     num_classes=10)
+    model = UNetModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jax.random.normal(rng, (2, 5, 32))
+    y = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(rng, x, t, ctx, y=y)
+    assert "label_emb" in params["params"]
+    # every residual-branch tail is a zero-conv at init (reference
+    # zero_module), which kills the emb path; de-zero them so label changes
+    # can reach the output
+    params = jax.tree.map(
+        lambda p: jnp.where(jnp.all(p == 0),
+                            jax.random.normal(rng, p.shape) * 0.05, p),
+        params)
+    out_a = model.apply(params, x, t, ctx, y=y)
+    out_b = model.apply(params, x, t, ctx, y=jnp.asarray([7, 3], jnp.int32))
+    assert out_a.shape == (2, 8, 8, 4)
+    # different labels must change the output
+    assert float(jnp.abs(out_a - out_b).max()) > 1e-4
+    # missing labels raise
+    import pytest
+    with pytest.raises(ValueError):
+        model.apply(params, x, t, ctx)
