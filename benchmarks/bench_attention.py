@@ -105,13 +105,16 @@ def slope_time(fn, args):
 
 
 def main():
-    print(f"device: {jax.devices()[0].device_kind}")
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
     rng = np.random.RandomState(0)
     shapes = [
         ("ds1", 16, 4096, 320, 5),
         ("ds2", 16, 1024, 640, 10),
         ("ds4", 16, 256, 1280, 20),
     ]
+    only = sys.argv[1:]  # e.g. `bench_attention.py ds1 packed ones_fast`
+    if only:
+        shapes = [s for s in shapes if s[0] in only] or shapes
     for name, B, N, C, H in shapes:
         d = C // H
         scale = d ** -0.5
@@ -138,6 +141,8 @@ def main():
             "ones_bq512": lambda q, k, v: ones_attention(
                 q, k, v, scale=scale, heads=H, block_q=512, exact=True),
         }
+        if only and len(only) > 1:
+            variants = {k_: f for k_, f in variants.items() if k_ in only} or variants
         # correctness spot check vs einsum
         ref = np.asarray(ein(q, k, v), np.float32)
         for vn, fn in variants.items():

@@ -1,0 +1,86 @@
+"""UNet-step shootout: times ONE denoiser apply (the unit that runs 50x per
+image batch), scan-amortized on the real TPU, for a set of kernel configs.
+
+Usage: python benchmarks/bench_unet_step.py [config ...]
+Configs: baseline | ones | fast | fuse_ff | fuse_ff_fast | einsum | b32
+(no args = all). Each prints ms/step and effective TFLOP/s against the
+compiled-flops count (12.55 TFLOP at CFG batch 16).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
+
+STEPS = 20
+
+
+def run_config(name: str, env: dict, attn_impl, batch: int = 16) -> float:
+    for k, v in env.items():
+        os.environ[k] = v
+    try:
+        from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
+
+        cfg = UNetConfig.sd2(dtype=jnp.bfloat16, attn_impl=attn_impl)
+        model = UNetModel(cfg)
+        x = jnp.zeros((batch, 64, 64, 4), jnp.bfloat16)
+        t = jnp.zeros((batch,), jnp.int32)
+        ctx = jnp.zeros((batch, 77, 1024), jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), x, t, ctx))
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+
+        def body(h, _):
+            eps = model.apply(params, h, t, ctx)
+            return eps.astype(h.dtype), ()
+
+        # single compile; the ~31ms tunnel dispatch floor is <2% of a
+        # 20-step scan at these step times, so no slope correction needed
+        run = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=STEPS)[0])
+        out = run(x)
+        np.asarray(out[0, 0, 0])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(x)
+            np.asarray(out[0, 0, 0])
+            ts.append(time.perf_counter() - t0)
+        per_step = min(ts) / STEPS
+        flops = 12.55e12 * batch / 16
+        print(f"{name:14s} b{batch}: {per_step*1e3:7.2f} ms/step "
+              f"({flops/per_step/1e12:6.1f} T eff)", flush=True)
+        return per_step
+    finally:
+        for k in env:
+            os.environ.pop(k, None)
+
+
+CONFIGS = {
+    "baseline": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0"), None, 16),
+    "ones": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="1"), None, 16),
+    "fast": (dict(MDT_FUSE_FF="0"), "pallas_fast", 16),
+    "fuse_ff": (dict(MDT_FUSE_FF="1", MDT_ONES_ATTN="0"), None, 16),
+    "fuse_ff_fast": (dict(MDT_FUSE_FF="1"), "pallas_fast", 16),
+    "einsum": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0"), "xla", 16),
+    "b32": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0"), None, 32),
+}
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    names = sys.argv[1:] or list(CONFIGS)
+    for n in names:
+        env, impl, batch = CONFIGS[n]
+        run_config(n, env, impl, batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_srgan", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--uncond_mode", choices=["per_generation", "per_step"],
+                   default="per_generation",
+                   help="per_step = reference-exact CFG uncond re-draw "
+                        "(guider.py:36-50); slower, xf runs inside the scan")
     return p
 
 
@@ -63,7 +67,8 @@ def main(argv=None) -> dict:
     pipe = GlideCascadePipeline(models)
     fn = pipe.build_generate(batch_size=args.pics_generated,
                              guidance_scale=args.guidance_scale,
-                             run_srgan=not args.no_srgan)
+                             run_srgan=not args.no_srgan,
+                             uncond_mode=args.uncond_mode)
     out = fn(params, jnp.asarray(tokens_np), jnp.asarray(mask_np),
              jax.random.PRNGKey(args.seed))
     saved = {}

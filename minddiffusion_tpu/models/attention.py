@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -107,6 +108,71 @@ class FeedForward(nn.Module):
         return dense(self.dim, self.dtype, name="proj_out")(h)
 
 
+class _DenseParams(nn.Module):
+    """Declares the same {kernel, bias} params nn.Dense would, without compute.
+
+    Lets FusedFeedForward keep a param tree IDENTICAL to the unfused
+    LayerNormFp32 + FeedForward stack, so checkpoints and the reference weight
+    converter (io/sd_weights.py) are layout-agnostic about the fusion."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _GEGLUParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _DenseParams(self.features, name="proj")(in_features)
+
+
+class _LNInner(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _LNParams(nn.Module):
+    """Mirrors LayerNormFp32's param path (<name>/LayerNorm_0/{scale,bias})."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNInner(self.dim, name="LayerNorm_0")()
+
+
+class FusedFeedForward(nn.Module):
+    """FeedForward with LN + GEGLU + proj + residual fused into one TPU kernel
+    (ops/fused_ff.py). Param tree matches FeedForward exactly."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ln_scale: jnp.ndarray,
+                 ln_bias: jnp.ndarray) -> jnp.ndarray:
+        from minddiffusion_tpu.ops.fused_ff import fused_ln_geglu_ff
+
+        f = self.dim * self.mult
+        w1, b1 = _GEGLUParams(2 * f, name="geglu")(x.shape[-1])
+        w2, b2 = _DenseParams(self.dim, name="proj_out")(f)
+        return fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
 class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
@@ -117,6 +183,9 @@ class BasicTransformerBlock(nn.Module):
     lora_rank: int = 4
     lora_alpha: float = 4.0
     attn_impl: Optional[str] = None
+    # None = auto (fuse LN+GEGLU-FF+residual into one Pallas kernel on TPU);
+    # param tree is identical either way (see _DenseParams)
+    fuse_ff: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -131,9 +200,23 @@ class BasicTransformerBlock(nn.Module):
             context_dim=self.context_dim, dtype=self.dtype, attn_impl=self.attn_impl,
             name="attn2", **lora,
         )(LayerNormFp32(name="norm2")(x), context=context)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
-            LayerNormFp32(name="norm3")(x)
-        )
+        fuse = self.fuse_ff
+        if fuse is None:
+            import os
+
+            # opt-in (MDT_FUSE_FF=1): measured e2e-neutral-to-slower than
+            # XLA's unfused chain at SD2 shapes despite the HBM-traffic win
+            # (K=320 matmul padding + serialized VPU prologue); kept for
+            # larger-width models where the weights' VMEM residency pays off
+            fuse = (jax.default_backend() == "tpu" and self.attn_impl != "xla"
+                    and os.environ.get("MDT_FUSE_FF", "0") == "1")
+        if fuse:
+            s, b = _LNParams(self.dim, name="norm3")()
+            x = FusedFeedForward(self.dim, dtype=self.dtype, name="ff")(x, s, b)
+        else:
+            x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
+                LayerNormFp32(name="norm3")(x)
+            )
         return x
 
 

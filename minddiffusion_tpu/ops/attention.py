@@ -118,11 +118,26 @@ def packed_attention(
         if vmem <= _PACKED_VMEM_BUDGET + bq * nk * 4:
             from minddiffusion_tpu.ops import flash_attention
 
+            if impl == "pallas_fast":
+                # static-shift softmax (exact below logit 108): no max pass,
+                # measured 3.50ms vs 3.90ms at ds1 — serving opt-in
+                return flash_attention.flash_attention_packed(
+                    q, k, v, scale=float(scale), heads=heads, block_q=bq,
+                    exact=False)
+            # ones-column fold (row-sum rides the PV matmul): isolated win
+            # (3.60ms vs 3.90ms at ds1) but e2e-slower in the sampler scan —
+            # the per-call V-augment concat costs HBM the isolated bench
+            # amortizes. Opt-in via MDT_ONES_ATTN=1 pending a V-layout that
+            # builds the augmented tensor inside the kernel.
+            import os
+
+            if os.environ.get("MDT_ONES_ATTN", "0") == "1":
+                return flash_attention.flash_attention_packed_ones(
+                    q, k, v, scale=float(scale), heads=heads, block_q=bq,
+                    exact=True)
             return flash_attention.flash_attention_packed(
                 q, k, v, scale=float(scale), heads=heads, block_q=bq,
-                # "pallas_fast": static-shift softmax (exact below logit 108),
-                # ~7% faster on the VPU-bound SD shapes — serving opt-in
-                exact=impl != "pallas_fast")
+                exact=True)
     if impl == "pallas_fast":
         impl = None
     out = dot_product_attention(

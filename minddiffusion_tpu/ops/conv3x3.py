@@ -232,8 +232,13 @@ def conv3x3_gemm(
         return w_blk + r_scr + x_blk + acc + out_blk + res_blk
 
     budget = 24 * 1024 * 1024
-    while footprint(bn) > budget and bn > 128 and bn % 2 == 0:
-        bn //= 2
+    if block_cout == 0:
+        # Mosaic requires the lane (last) block dim to be a multiple of 128 or
+        # equal to the full array dim: candidates are c_out itself plus every
+        # 128-multiple divisor, largest-first.
+        cands = [c_out] + [m for m in range(c_out - 128, 0, -128)
+                           if m % 128 == 0 and c_out % m == 0]
+        bn = next((c for c in cands if footprint(c) <= budget), cands[-1])
     n_co = c_out // bn if c_out % bn == 0 else 1
     if c_out % bn:
         bn = c_out

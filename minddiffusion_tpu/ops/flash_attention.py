@@ -321,6 +321,85 @@ def flash_attention_packed(
     return out[:, :nq]
 
 
+def _packed_ones_kernel(q_ref, k_ref, va_ref, o_ref, *, scale: float,
+                        exact: bool, heads: int, head_dim: int):
+    """Heads-packed kernel with the softmax row-sum folded into the PV matmul.
+
+    V is augmented per head to 2*d lanes: [v_h | 1 | 0 ...]. The PV product
+    then yields [sum(p*v) | sum(p)] in one MXU op — at d=64 the augmented
+    width is exactly 128 lanes, so the fold is FREE (the un-augmented matmul
+    would pad 64->128 lanes anyway) and the VPU row-sum pass disappears.
+    Measured ds1 (B16 N4096 H5x64): 3.60ms/95.6T vs 3.90ms/88.1T for the
+    plain packed kernel (exact softmax)."""
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if exact:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+        else:
+            p = jnp.exp(s - _FAST_SHIFT)
+        va = va_ref[0][:, h * 2 * head_dim: (h + 1) * 2 * head_dim]
+        acc = jax.lax.dot_general(
+            p.astype(va.dtype), va, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (bq, 2d): [p@v | l]
+        l = acc[:, head_dim: head_dim + 1]
+        o_ref[0, :, sl] = (acc[:, :head_dim] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "heads", "block_q", "exact", "interpret"),
+)
+def flash_attention_packed_ones(
+    q: jnp.ndarray,  # (B, Nq, C)
+    k: jnp.ndarray,  # (B, Nk, C)
+    v: jnp.ndarray,
+    scale: float,
+    heads: int,
+    block_q: int = 256,
+    exact: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """flash_attention_packed with the ones-column row-sum fold (see kernel)."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    d = c // heads
+    vh = v.reshape(b, nk, heads, d)
+    ones = jnp.ones((b, nk, heads, 1), v.dtype)
+    zeros = jnp.zeros((b, nk, heads, d - 1), v.dtype)
+    va = jnp.concatenate([vh, ones, zeros], axis=-1).reshape(b, nk, heads * 2 * d)
+    qb = min(block_q, nq)
+    pad = (-nq) % qb
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    grid = (b, pl.cdiv(nq + pad, qb))
+    kernel = functools.partial(_packed_ones_kernel, scale=scale, exact=exact,
+                               heads=heads, head_dim=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, qb, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, nk, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, nk, 2 * c), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qb, c), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq + pad, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * nq * nk * d,
+            bytes_accessed=2 * b * (nq + 3 * nk) * c,
+            transcendentals=b * heads * nq * nk,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, va)
+    return out[:, :nq]
+
+
 def _pad_tokens(x: jnp.ndarray, block: int) -> jnp.ndarray:
     n = x.shape[1]
     pad = (-n) % block

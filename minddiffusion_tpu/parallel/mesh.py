@@ -98,8 +98,60 @@ def _path_str(path) -> str:
     return "/" + "/".join(str(getattr(k, "key", k)) for k in path) + "/"
 
 
+def tp_report(params, mesh: Mesh) -> dict:
+    """What the tp axis actually shards, as data (names + byte coverage).
+
+    The sharding rules key on module-name fragments (_TP_COL/_TP_ROW), which
+    silently stop matching if a module is renamed — a tp>1 mesh would then run
+    correct-but-replicated. This report makes that failure observable: it
+    returns the tp-sharded param names and the fraction of 2D-projection bytes
+    they cover, and `shard_params`/`param_shardings` assert on it when tp>1.
+    """
+    names, tp_bytes, total_2d_bytes = [], 0, 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        shape = getattr(leaf, "shape", ())
+        nbytes = int(np.prod(shape)) * jnp_itemsize(leaf) if shape else 0
+        if len(shape) == 2:
+            total_2d_bytes += nbytes
+        spec = _param_spec(_path_str(path), leaf, mesh)
+        if "tp" in tuple(spec):
+            names.append(_path_str(path))
+            tp_bytes += nbytes
+    frac = tp_bytes / total_2d_bytes if total_2d_bytes else 0.0
+    return {"tp_params": len(names), "names": names,
+            "tp_bytes": tp_bytes, "total_2d_bytes": total_2d_bytes,
+            "bytes_fraction": frac}
+
+
+def jnp_itemsize(leaf) -> int:
+    dt = getattr(leaf, "dtype", None)
+    return np.dtype(dt).itemsize if dt is not None else 4
+
+
+def assert_tp_effective(params, mesh: Mesh, min_bytes_fraction: float = 0.15):
+    """Fail loudly if a tp>1 mesh would leave the model (near-)replicated.
+
+    Guards against the name-substring rules degrading to no-op on a module
+    rename (a tp=2 run with zero matches is numerically correct but wastes
+    half the chips). Threshold is deliberately low: attention/FF projections
+    are well over 15% of any transformer-bearing model's 2D bytes.
+    """
+    if mesh.shape.get("tp", 1) <= 1:
+        return None
+    rep = tp_report(params, mesh)
+    if rep["tp_params"] == 0 or rep["bytes_fraction"] < min_bytes_fraction:
+        raise ValueError(
+            f"tp={mesh.shape['tp']} mesh but only {rep['tp_params']} params "
+            f"({rep['bytes_fraction']:.1%} of 2D bytes) matched the TP rules "
+            f"(_TP_COL/_TP_ROW name fragments in parallel/mesh.py). A module "
+            f"rename has likely broken the sharding rules; the run would be "
+            f"silently replicated over the tp axis.")
+    return rep
+
+
 def shard_params(params, mesh: Mesh):
     """Place a param pytree on the mesh (tp + FSDP rules; replicated on dp)."""
+    assert_tp_effective(params, mesh)
     return jax.tree_util.tree_map_with_path(
         lambda p, l: jax.device_put(
             l, NamedSharding(mesh, _param_spec(_path_str(p), l, mesh))),
@@ -108,6 +160,7 @@ def shard_params(params, mesh: Mesh):
 
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree matching shard_params (for jit in/out shardings)."""
+    assert_tp_effective(params, mesh)
     return jax.tree_util.tree_map_with_path(
         lambda p, l: NamedSharding(mesh, _param_spec(_path_str(p), l, mesh)),
         params)

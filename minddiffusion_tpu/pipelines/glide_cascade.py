@@ -13,10 +13,10 @@ Reference flow (Taichu-GLIDE/src/txt2img.py:78-158, main_funcs.py:21-69):
 
 TPU inversions: each diffusion stage is one lax.scan XLA program; the xf text
 transformer runs ONCE per stage (the reference re-runs it inside all 87 UNet
-calls); random uncond tokens are drawn once per
-generation — a documented divergence (PARITY.md) from the reference's
-per-step re-draw, which would fold the 16-layer xf back into the scan for a
-statistically equivalent noise baseline.
+calls). Random uncond tokens default to one draw per generation (fast path);
+`build_generate(uncond_mode="per_step")` restores the reference's per-step
+re-draw exactly (guider.py:36-50) by folding the uncond xf back into the scan
+— the documented PARITY.md divergence is now opt-out.
 """
 from __future__ import annotations
 
@@ -121,12 +121,23 @@ class GlideCascadePipeline:
         sr_size: int = 256,
         upsample_temp: float = 0.997,
         run_srgan: bool = True,
+        uncond_mode: str = "per_generation",
     ) -> Callable:
         """jit(fn)(params, tokens, mask, key) -> dict of uint8 image stages.
 
         tokens/mask: (B, text_ctx) int32 (host-tokenized). Random-token uncond
         is drawn from `key` (vocab range [1, n_vocab-1), main_funcs.py:37).
+
+        uncond_mode:
+          * "per_generation" (default, fast): uncond tokens drawn once, their
+            xf encoding hoisted out of the sampling scan (~60x less
+            transformer work than the reference; statistically equivalent).
+          * "per_step" (exact-parity): fresh random uncond tokens every
+            sampling step, xf folded back into the scan — matches the
+            reference's guider.py:36-50 / main_funcs.py:37-38 semantics.
         """
+        if uncond_mode not in ("per_generation", "per_step"):
+            raise ValueError(f"uncond_mode {uncond_mode!r}")
         m = self.models
         vocab = m.base.xf_config.n_vocab
         ctx = m.base.xf_config.text_ctx
@@ -136,14 +147,13 @@ class GlideCascadePipeline:
             k_unc, k_base, k_sr, key = jax.random.split(key, 4)
 
             # ---- base 64px stage, CFG with random-token uncond ----
-            unc_tokens = jax.random.randint(k_unc, (b, ctx), 1, vocab - 1, jnp.int32)
             unc_mask = jnp.ones_like(mask)
-            tok2 = jnp.concatenate([tokens, unc_tokens], axis=0)   # [cond; uncond]
-            mask2 = jnp.concatenate([mask, unc_mask], axis=0)
-            xf_proj2, xf_out2 = m.base.apply(
-                params["base"], tok2, mask2, method=m.base.encode_text)
 
-            def base_model_fn(x, t_orig):
+            def encode_base(tok, msk):
+                return m.base.apply(params["base"], tok, msk,
+                                    method=m.base.encode_text)
+
+            def cfg_denoise(x, t_orig, xf_proj2, xf_out2):
                 x2 = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.concatenate([t_orig, t_orig], axis=0)
                 eps2, v2 = m.base.apply(params["base"], x2, t2, xf_proj2, xf_out2,
@@ -153,9 +163,36 @@ class GlideCascadePipeline:
                 v_c, _ = jnp.split(v2, 2, axis=0)
                 return eps, v_c
 
+            if uncond_mode == "per_generation":
+                unc_tokens = jax.random.randint(
+                    k_unc, (b, ctx), 1, vocab - 1, jnp.int32)
+                tok2 = jnp.concatenate([tokens, unc_tokens], axis=0)  # [cond; uncond]
+                mask2 = jnp.concatenate([mask, unc_mask], axis=0)
+                xf_proj2, xf_out2 = encode_base(tok2, mask2)
+
+                def base_model_fn(x, t_orig):
+                    return cfg_denoise(x, t_orig, xf_proj2, xf_out2)
+
+                model_takes_key = False
+            else:
+                # cond xf hoisted (same tokens every step => identical result);
+                # uncond xf re-encoded inside the scan on per-step random tokens.
+                xf_proj_c, xf_out_c = encode_base(tokens, mask)
+
+                def base_model_fn(x, t_orig, k_step):
+                    unc_tokens = jax.random.randint(
+                        k_step, (b, ctx), 1, vocab - 1, jnp.int32)
+                    xf_proj_u, xf_out_u = encode_base(unc_tokens, unc_mask)
+                    xf_proj2 = jnp.concatenate([xf_proj_c, xf_proj_u], axis=0)
+                    xf_out2 = jnp.concatenate([xf_out_c, xf_out_u], axis=0)
+                    return cfg_denoise(x, t_orig, xf_proj2, xf_out2)
+
+                model_takes_key = True
+
             x_T = jax.random.normal(k_base, (b, base_size, base_size, 3), jnp.float32)
             img64 = ancestral.p_sample_loop(base_model_fn, x_T, m.base_schedule,
-                                            key=jax.random.fold_in(key, 0))
+                                            key=jax.random.fold_in(key, 0),
+                                            model_takes_key=model_takes_key)
 
             # ---- super-res 256px stage (no CFG) ----
             low_res = quantize_roundtrip(img64)

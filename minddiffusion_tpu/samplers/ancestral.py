@@ -34,10 +34,18 @@ def p_mean_variance(
     x: jnp.ndarray,
     t: jnp.ndarray,
     clip_denoised: bool = True,
+    model_key: Optional[jax.Array] = None,
 ):
-    """Returns (mean, log_variance, pred_x0) for the spaced timestep t (B,)."""
+    """Returns (mean, log_variance, pred_x0) for the spaced timestep t (B,).
+
+    When `model_key` is given, the model is called as model_fn(x, t, key) —
+    used by the GLIDE exact-parity CFG mode, whose uncond branch re-draws
+    random tokens every step (guider.py:36-50, main_funcs.py:37-38)."""
     t_orig = jnp.take(schedule.timestep_map, t)
-    eps, v = model_fn(x, t_orig)
+    if model_key is not None:
+        eps, v = model_fn(x, t_orig, model_key)
+    else:
+        eps, v = model_fn(x, t_orig)
     eps = eps.astype(jnp.float32)
     v = v.astype(jnp.float32)
 
@@ -59,8 +67,12 @@ def p_sample_loop(
     schedule: DiffusionSchedule,
     key: jax.Array,
     clip_denoised: bool = True,
+    model_takes_key: bool = False,
 ) -> jnp.ndarray:
-    """Ancestral sampling over all spaced steps, T-1 .. 0, one XLA program."""
+    """Ancestral sampling over all spaced steps, T-1 .. 0, one XLA program.
+
+    `model_takes_key=True` feeds a fresh per-step key to the model as a third
+    argument (GLIDE per-step random-token uncond, the exact-parity CFG mode)."""
     n = schedule.num_timesteps
     ts = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
     keys = common.per_step_keys(key, n)
@@ -68,8 +80,12 @@ def p_sample_loop(
 
     def step(x, per_step):
         t, k = per_step
+        if model_takes_key:
+            k, k_model = jax.random.split(k)
         tb = common.broadcast_t(t, batch)
-        mean, log_var, _ = p_mean_variance(model_fn, schedule, x, tb, clip_denoised)
+        mean, log_var, _ = p_mean_variance(
+            model_fn, schedule, x, tb, clip_denoised,
+            model_key=k_model if model_takes_key else None)
         noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
         nonzero = (t > 0).astype(jnp.float32)
         x_prev = mean + nonzero * jnp.exp(0.5 * log_var) * noise

@@ -45,6 +45,21 @@ def test_packed_kernel_parity(heads):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("heads", [1, 4])
+@pytest.mark.parametrize("exact", [True, False])
+def test_packed_ones_kernel_parity(heads, exact):
+    from minddiffusion_tpu.ops.flash_attention import flash_attention_packed_ones
+
+    b, n, d = 2, 300, 64  # ragged n -> q row padding
+    c = heads * d
+    q, k, v = qkv(b, n, n, heads, d, seed=11)
+    ref = einsum_attention(q, k, v).reshape(b, n, c)
+    out = flash_attention_packed_ones(
+        q.reshape(b, n, c), k.reshape(b, n, c), v.reshape(b, n, c),
+        scale=d ** -0.5, heads=heads, block_q=128, exact=exact, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_packed_dispatcher_falls_back_below_threshold():
     # 77 tokens -> einsum path; result must equal reference exactly
     b, n, h, d = 2, 77, 4, 64

@@ -138,3 +138,30 @@ def test_cascade_end_to_end_tiny():
     assert out["base"].shape == (2, 16, 16, 3) and out["base"].dtype == jnp.uint8
     assert out["super_res"].shape == (2, 32, 32, 3)
     assert out["srgan"].shape == (2, 128, 128, 3)
+
+
+def test_cascade_per_step_uncond_parity_mode():
+    """uncond_mode='per_step' (reference-exact CFG: guider.py:36-50 redraws
+    random uncond tokens every step) runs, and actually differs from the
+    hoisted per-generation path while agreeing on shapes."""
+    models = GlideModels.create(
+        dtype=jnp.float32, base_respacing="4", sr_respacing="3",
+        base_unet=tiny_unet(), sr_unet=tiny_unet(in_channels=6),
+        xf=tiny_xf(), with_srgan=False,
+    )
+    params = models.init_params(jax.random.PRNGKey(0), base_size=16, sr_size=32)
+    params = {k: unzero_head(v) for k, v in params.items()}
+    pipe = GlideCascadePipeline(models)
+    toks = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    common_kw = dict(batch_size=2, base_size=16, sr_size=32, guidance_scale=5.0)
+    out_gen = pipe.build_generate(**common_kw, uncond_mode="per_generation")(
+        params, toks, mask, jax.random.PRNGKey(1))
+    out_step = pipe.build_generate(**common_kw, uncond_mode="per_step")(
+        params, toks, mask, jax.random.PRNGKey(1))
+    assert out_step["base"].shape == out_gen["base"].shape
+    # different uncond token streams => different images (same master key)
+    assert np.asarray(out_step["base"]).astype(np.int32).sum() != \
+        np.asarray(out_gen["base"]).astype(np.int32).sum()
+    with pytest.raises(ValueError):
+        pipe.build_generate(**common_kw, uncond_mode="bogus")
