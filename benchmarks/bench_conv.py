@@ -20,6 +20,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
 from minddiffusion_tpu.ops.conv3x3 import conv3x3_gemm, conv3x3_pallas  # noqa: E402
+from minddiffusion_tpu.ops.winograd import conv3x3_winograd  # noqa: E402
 
 STEPS = 20
 
@@ -66,10 +67,18 @@ def main():
         k = jnp.asarray(rng.randn(3, 3, C, C) * 0.02, jnp.bfloat16)
         b = jnp.asarray(rng.randn(C), jnp.float32)
         flops = 2 * B * H * W * 9 * C * C
+        only = sys.argv[1:]
+        variants = {
+            "xla": lambda x_, k_, b_: xla_conv(x_, k_, b_),
+            "v1": lambda x_, k_, b_: conv3x3_pallas(x_, k_, b_),
+            "v2": lambda x_, k_, b_: conv3x3_gemm(x_, k_, b_),
+            "wino": lambda x_, k_, b_: conv3x3_winograd(x_, k_, b_),
+        }
+        if only:
+            variants = {n: f for n, f in variants.items() if n in only}
         res = {}
-        res["xla"] = timed(xla_conv, x, k, b)
-        res["v1"] = timed(functools.partial(conv3x3_pallas), x, k, b)
-        res["v2"] = timed(lambda x_, k_, b_: conv3x3_gemm(x_, k_, b_), x, k, b)
+        for name, fn in variants.items():
+            res[name] = timed(fn, x, k, b)
         line = f"B{B} {H}x{W} C{C}: " + "  ".join(
             f"{name} {t*1e3:.3f}ms {flops/t/1e12:.1f}T" for name, t in res.items()
         )

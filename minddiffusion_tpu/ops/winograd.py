@@ -1,0 +1,178 @@
+"""Winograd F(2x2, 3x3) convolution — Pallas TPU kernel.
+
+Direct 3x3 conv spends 9 MACs per output-channel-pixel; Winograd F(2x2,3x3)
+spends 16 MACs per 2x2-pixel tile = 4 per pixel, a 2.25x FLOP reduction on
+the MXU (the transforms are cheap VPU adds). XLA:TPU lowers conv as direct
+implicit GEMM (~54 TFLOP/s at SD resblock shapes, 27% of v5e peak), so the
+FLOP cut is the one conv lever XLA cannot reach — at 512² SD2 the resblock
+conv stack is ~28 ms of the 89 ms UNet step.
+
+Scheme (per (batch, row-tile) grid program, all in VMEM):
+  input tile (bh+2, W+2, C) -- host-side halo gather, like ops/conv3x3 --
+  1. column phase: lane-merge even/odd columns ((W+2)/2, 2C) and a one-group
+     shifted copy; B^T column combos give c0..c3 (bh+2, Tx, C)
+  2. row phase: stride-2 PLANE slices (free: leading dims are untiled) give
+     the 16 transformed coords V[a,b] (T, Tx, C)
+  3. 16 MXU matmuls V[a,b] @ U[a,b] with U = G k G^T (host-precomputed,
+     (16, C, Co), grid-resident)
+  4. inverse transform A^T M A (fp32 VPU adds) and lane-unmerge back to
+     (bh, W, Co), + bias.
+
+Transforms run in fp32 (bf16 inputs upcast on read); matmuls bf16 with fp32
+accumulation — numerics land within ~2x of XLA's direct bf16 conv error
+(tests/test_winograd.py checks against the fp32 direct conv).
+
+B^T = [[1,0,-1,0],[0,1,1,0],[0,-1,1,0],[0,1,0,-1]]
+G   = [[1,0,0],[.5,.5,.5],[.5,-.5,.5],[0,0,1]]
+A^T = [[1,1,1,0],[0,1,-1,-1]]
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def transform_weights(kernel: jnp.ndarray) -> jnp.ndarray:
+    """HWIO (3,3,Cin,Co) -> U (16, Cin, Co) = (G k G^T) per channel pair, fp32."""
+    g = jnp.asarray(
+        [[1.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]],
+        jnp.float32)
+    k = kernel.astype(jnp.float32)                      # (3, 3, Ci, Co)
+    u = jnp.einsum("ar,rsco->asco", g, k)               # (4, 3, Ci, Co)
+    u = jnp.einsum("bs,asco->abco", g, u)               # (4, 4, Ci, Co)
+    return u.reshape(16, *kernel.shape[2:])
+
+
+def _wino_kernel(x_ref, xs_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
+                 cp: int, c_out: int):
+    """One (batch, row-tile) program. See module docstring for phases.
+
+    x_ref:  (1, 1, bh+2, (W+2)//2, 2*cp)  even|odd column-merged halo tile
+    xs_ref: same, shifted one column-group (cols 2..W+3)
+    u_ref:  (16, cp, c_out) transformed weights (grid-resident)
+    b_ref:  (1, c_out)
+    o_ref:  (1, bh, W, c_out)
+    """
+    t = bh // 2
+    tx = width // 2
+
+    q = x_ref[0, 0]             # (bh+2, (W+2)/2, 2cp)
+    qs = xs_ref[0, 0]
+    # column combos (B^T applied to the W axis); d0..d3 are the 4 winograd
+    # columns of each tile: evens, odds, evens+1, odds+1
+    ec = q[:, 0:tx, 0:cp].astype(jnp.float32)
+    oc = q[:, 0:tx, cp:2 * cp].astype(jnp.float32)
+    ec1 = qs[:, 0:tx, 0:cp].astype(jnp.float32)   # = evens shifted one group
+    oc1 = qs[:, 0:tx, cp:2 * cp].astype(jnp.float32)
+    c0 = ec - ec1
+    c1 = oc + ec1
+    c2 = ec1 - oc
+    c3 = oc - oc1                                  # each (bh+2, Tx, cp)
+
+    ms = {}
+    for b in range(4):
+        cb = (c0, c1, c2, c3)[b]
+        # row combos: stride-2 plane slices are free (untiled leading dim)
+        e0 = jax.lax.slice(cb, (0, 0, 0), (bh, tx, cp), (2, 1, 1))
+        o0 = jax.lax.slice(cb, (1, 0, 0), (bh + 1, tx, cp), (2, 1, 1))
+        e1 = jax.lax.slice(cb, (2, 0, 0), (bh + 2, tx, cp), (2, 1, 1))
+        o1 = jax.lax.slice(cb, (3, 0, 0), (bh + 2, tx, cp), (2, 1, 1))
+        v = (e0 - e1, o0 + e1, e1 - o0, o0 - o1)   # a = 0..3, (T, Tx, cp)
+        for a in range(4):
+            ms[(a, b)] = jax.lax.dot_general(
+                v[a].astype(o_ref.dtype).reshape(t * tx, cp),
+                u_ref[4 * a + b],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (T*Tx, Co) fp32
+
+    bias = b_ref[0].astype(jnp.float32)
+    # inverse transform: P[i][b] = sum_a A^T[i,a] M[a,b]; Y[i][j] = sum_b A^T[j,b] P[i][b]
+    for i in range(2):
+        if i == 0:
+            p = [ms[(0, b)] + ms[(1, b)] + ms[(2, b)] for b in range(4)]
+        else:
+            p = [ms[(1, b)] - ms[(2, b)] - ms[(3, b)] for b in range(4)]
+        y0 = p[0] + p[1] + p[2] + bias              # (T*Tx, Co) cols j=0
+        y1 = p[1] - p[2] - p[3] + bias              # cols j=1
+        # lane-merge the two column phases then unmerge to width W
+        y = jnp.concatenate([y0, y1], axis=-1)      # (T*Tx, 2Co)
+        y = y.reshape(t, tx, 2 * c_out).reshape(t, width, c_out)
+        o_ref[0, i: bh: 2] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "interpret"))
+def conv3x3_winograd(
+    x: jnp.ndarray,        # (B, H, W, C_in)
+    kernel: jnp.ndarray,   # (3, 3, C_in, C_out) HWIO
+    bias: Optional[jnp.ndarray] = None,
+    block_rows: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """3x3 stride-1 same-pad conv via Winograd F(2x2,3x3). H and W even."""
+    b, h, w, c_in = x.shape
+    c_out = kernel.shape[-1]
+    dtype = x.dtype
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    if bias is None:
+        bias = jnp.zeros((c_out,), jnp.float32)
+
+    cp = _round_up(c_in, 128)
+    bh = min(block_rows, h)
+    if bh % 2:
+        bh += 1
+    pad_h = (-h) % bh
+    hp = h + pad_h
+    n_tiles = hp // bh
+
+    # halo tiles, with C padded so the even/odd lane-merge keeps 128-aligned
+    # halves: (B, n, bh+2, W+2, cp) -> lane-merged (B, n, bh+2, (W+2)/2, 2cp)
+    xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, 3), (0, cp - c_in)))
+    # cols 0..W+1 (standard halo) and 2..W+3 (shifted one column-group)
+    row_idx = (jnp.arange(n_tiles)[:, None] * bh
+               + jnp.arange(bh + 2)[None, :])       # (n_tiles, bh+2)
+    tiles = xp[:, row_idx]                          # (B, n, bh+2, W+4, cp)
+    wcols = (w + 2) // 2
+    x_t = tiles[:, :, :, :w + 2].reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
+    x_s = tiles[:, :, :, 2:w + 4].reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
+
+    u = transform_weights(kernel).astype(dtype)     # (16, C_in, Co)
+    if cp != c_in:
+        u = jnp.pad(u, ((0, 0), (0, cp - c_in), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_wino_kernel, bh=bh, width=w, cp=cp, c_out=c_out),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, bh + 2, wcols, 2 * cp),
+                         lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, bh + 2, wcols, 2 * cp),
+                         lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, c_out), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c_out), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * w * 4 * cp * c_out,   # 16 MACs per 2x2 tile
+            bytes_accessed=b * hp * w * (4 * cp + c_out) * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x_t, x_s, u, bias.reshape(1, c_out).astype(jnp.float32))
+    return out[:, :h]
