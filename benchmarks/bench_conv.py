@@ -60,7 +60,15 @@ def main():
         (16, 32, 32, 640),
         (16, 16, 16, 1280),
         (16, 8, 8, 1280),
+        # VAE decoder shapes (batch 8, no CFG fold)
+        (8, 64, 64, 512),
+        (8, 128, 128, 512),
+        (8, 256, 256, 256),
+        (8, 512, 512, 128),
     ]
+    if os.environ.get("MDT_BENCH_SHAPES"):
+        keep = os.environ["MDT_BENCH_SHAPES"].split(",")
+        shapes = [s for s in shapes if f"{s[1]}x{s[3]}" in keep]
     rng = np.random.RandomState(0)
     for (B, H, W, C) in shapes:
         x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
@@ -68,11 +76,26 @@ def main():
         b = jnp.asarray(rng.randn(C), jnp.float32)
         flops = 2 * B * H * W * 9 * C * C
         only = sys.argv[1:]
+
+        def xla_bf16out(x_, k_, b_):
+            # flax nn.Conv's actual lowering: no preferred fp32 output
+            y = jax.lax.conv_general_dilated(
+                x_, k_, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + b_.astype(y.dtype)
+
         variants = {
             "xla": lambda x_, k_, b_: xla_conv(x_, k_, b_),
+            "xla16": xla_bf16out,
             "v1": lambda x_, k_, b_: conv3x3_pallas(x_, k_, b_),
             "v2": lambda x_, k_, b_: conv3x3_gemm(x_, k_, b_),
             "wino": lambda x_, k_, b_: conv3x3_winograd(x_, k_, b_),
+            "wino64": lambda x_, k_, b_: conv3x3_winograd(x_, k_, b_,
+                                                          block_rows=64),
+            "winobf16": lambda x_, k_, b_: conv3x3_winograd(
+                x_, k_, b_, fp32_transform=False),
+            "wino64bf16": lambda x_, k_, b_: conv3x3_winograd(
+                x_, k_, b_, block_rows=64, fp32_transform=False),
         }
         if only:
             variants = {n: f for n, f in variants.items() if n in only}

@@ -64,13 +64,15 @@ def run_config(name: str, env: dict, attn_impl, batch: int = 16) -> float:
 
 
 CONFIGS = {
-    "baseline": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0"), None, 16),
-    "ones": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="1"), None, 16),
-    "fast": (dict(MDT_FUSE_FF="0"), "pallas_fast", 16),
-    "fuse_ff": (dict(MDT_FUSE_FF="1", MDT_ONES_ATTN="0"), None, 16),
-    "fuse_ff_fast": (dict(MDT_FUSE_FF="1"), "pallas_fast", 16),
-    "einsum": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0"), "xla", 16),
-    "b32": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0"), None, 32),
+    "baseline": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0", MDT_WINO="0"), None, 16),
+    "ones": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="1", MDT_WINO="0"), None, 16),
+    "fast": (dict(MDT_FUSE_FF="0", MDT_WINO="0"), "pallas_fast", 16),
+    "fuse_ff": (dict(MDT_FUSE_FF="1", MDT_ONES_ATTN="0", MDT_WINO="0"), None, 16),
+    "fuse_ff_fast": (dict(MDT_FUSE_FF="1", MDT_WINO="0"), "pallas_fast", 16),
+    "einsum": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0", MDT_WINO="0"), "xla", 16),
+    "b32": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0", MDT_WINO="0"), None, 32),
+    "wino": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0", MDT_WINO="1"), None, 16),
+    "wino_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1"), "pallas_fast", 16),
 }
 
 

@@ -41,18 +41,46 @@ def list_image_files_captions(data_path: str) -> Tuple[List[str], List[str]]:
     return images, captions
 
 
-def filter_small_images(images: List[str], captions: List[str], min_size: int
+def filter_small_images(images: List[str], captions: List[str], min_size: int,
+                        workers: int = 32, cache_dir: Optional[str] = None,
                         ) -> Tuple[List[str], List[str]]:
-    keep_i, keep_c = [], []
-    for img, cap in zip(images, captions):
+    """Drop images whose short side is < min_size.
+
+    Header-only dimension reads are IO-bound, so they run on a thread pool
+    (the reference stat-opens serially: wukong ldm/data/dataset.py:48-64 —
+    painful at multi-million-row manifests). The keep-mask is memoized to a
+    sidecar file keyed on (min_size, row count) so warm restarts skip the
+    sweep entirely.
+    """
+    cache_path = None
+    if cache_dir is not None:
+        cache_path = os.path.join(
+            cache_dir, f".filter_cache_{min_size}_{len(images)}.npy")
+        if os.path.exists(cache_path):
+            keep = np.load(cache_path)
+            if keep.shape[0] == len(images):
+                return ([im for im, k in zip(images, keep) if k],
+                        [c for c, k in zip(captions, keep) if k])
+
+    def check(img: str) -> bool:
         try:
             w, h = transforms.image_dims(img)
         except OSError:
-            continue
-        if min(w, h) >= min_size:
-            keep_i.append(img)
-            keep_c.append(cap)
-    return keep_i, keep_c
+            return False
+        return min(w, h) >= min_size
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        keep = list(pool.map(check, images, chunksize=256))
+
+    if cache_path is not None:
+        try:
+            np.save(cache_path, np.asarray(keep, bool))
+        except OSError:
+            pass
+    return ([im for im, k in zip(images, keep) if k],
+            [c for c, k in zip(captions, keep) if k])
 
 
 class TextImageDataset:
@@ -146,7 +174,8 @@ def load_data(
     """Reference load_data surface (dataset.py:31-74)."""
     images, captions = list_image_files_captions(data_path)
     if filter_small_size:
-        images, captions = filter_small_images(images, captions, image_filter_size)
+        images, captions = filter_small_images(
+            images, captions, image_filter_size, cache_dir=data_path)
     if not images:
         raise ValueError("no usable images after filtering")
     return TextImageDataset(

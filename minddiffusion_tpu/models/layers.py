@@ -15,6 +15,7 @@ TPU-first conventions used across all model families:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import jax
@@ -96,8 +97,49 @@ def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = 
     )
 
 
+class WinoConv3x3(nn.Module):
+    """3x3 stride-1 conv that dispatches to the Winograd F(2x2,3x3) Pallas
+    kernel at the shapes where it measured faster than XLA's direct conv
+    (ops/winograd.wino_wins), and to nn.Conv-equivalent lax conv otherwise.
+
+    Param tree is identical to nn.Conv ({kernel, bias}), so checkpoints are
+    layout-agnostic. Gradients route through an XLA-direct-conv VJP."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init, (3, 3, x.shape[-1], self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        _, h, w, c = x.shape
+        from minddiffusion_tpu.ops import winograd
+
+        use_wino = (jax.default_backend() == "tpu"
+                    and winograd.wino_wins(h, w, c, self.features)
+                    and os.environ.get("MDT_WINO", "1") != "0")
+        x = x.astype(self.dtype)
+        if use_wino:
+            return winograd.conv3x3_winograd_ad(
+                x, kernel.astype(self.dtype), bias)
+        # match nn.Conv exactly: output in compute dtype (a preferred fp32
+        # output doubles the write traffic for no accuracy gain — the MXU
+        # accumulator is fp32 either way)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 def conv3x3(features: int, dtype: Dtype, zero_init: bool = False, stride: int = 1,
-            name: Optional[str] = None) -> nn.Conv:
+            name: Optional[str] = None) -> nn.Module:
+    if stride == 1:
+        return WinoConv3x3(features, dtype=dtype, zero_init=zero_init, name=name)
     kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
     return nn.Conv(
         features,

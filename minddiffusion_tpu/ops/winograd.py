@@ -54,26 +54,27 @@ def transform_weights(kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def _wino_kernel(x_ref, xs_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
-                 cp: int, c_out: int):
+                 cp: int, c_out: int, fp32_transform: bool):
     """One (batch, row-tile) program. See module docstring for phases.
 
     x_ref:  (1, 1, bh+2, (W+2)//2, 2*cp)  even|odd column-merged halo tile
     xs_ref: same, shifted one column-group (cols 2..W+3)
     u_ref:  (16, cp, c_out) transformed weights (grid-resident)
     b_ref:  (1, c_out)
-    o_ref:  (1, bh, W, c_out)
+    o_ref:  (1, bh, W//2, 2*c_out)  column-pair lane-merged (host un-merges)
     """
     t = bh // 2
     tx = width // 2
 
+    tdt = jnp.float32 if fp32_transform else x_ref.dtype
     q = x_ref[0, 0]             # (bh+2, (W+2)/2, 2cp)
     qs = xs_ref[0, 0]
     # column combos (B^T applied to the W axis); d0..d3 are the 4 winograd
     # columns of each tile: evens, odds, evens+1, odds+1
-    ec = q[:, 0:tx, 0:cp].astype(jnp.float32)
-    oc = q[:, 0:tx, cp:2 * cp].astype(jnp.float32)
-    ec1 = qs[:, 0:tx, 0:cp].astype(jnp.float32)   # = evens shifted one group
-    oc1 = qs[:, 0:tx, cp:2 * cp].astype(jnp.float32)
+    ec = q[:, 0:tx, 0:cp].astype(tdt)
+    oc = q[:, 0:tx, cp:2 * cp].astype(tdt)
+    ec1 = qs[:, 0:tx, 0:cp].astype(tdt)   # = evens shifted one group
+    oc1 = qs[:, 0:tx, cp:2 * cp].astype(tdt)
     c0 = ec - ec1
     c1 = oc + ec1
     c2 = ec1 - oc
@@ -82,11 +83,14 @@ def _wino_kernel(x_ref, xs_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
     ms = {}
     for b in range(4):
         cb = (c0, c1, c2, c3)[b]
-        # row combos: stride-2 plane slices are free (untiled leading dim)
-        e0 = jax.lax.slice(cb, (0, 0, 0), (bh, tx, cp), (2, 1, 1))
-        o0 = jax.lax.slice(cb, (1, 0, 0), (bh + 1, tx, cp), (2, 1, 1))
-        e1 = jax.lax.slice(cb, (2, 0, 0), (bh + 2, tx, cp), (2, 1, 1))
-        o1 = jax.lax.slice(cb, (3, 0, 0), (bh + 2, tx, cp), (2, 1, 1))
+        # row combos via even/odd plane regrouping: leading dims are untiled,
+        # so the reshape and unit slices are free (Mosaic rejects stride-2
+        # vector slices, so no lax.slice with strides here)
+        cb2 = cb.reshape((bh + 2) // 2, 2, tx, cp)
+        e0 = cb2[0:t, 0]
+        o0 = cb2[0:t, 1]
+        e1 = cb2[1:t + 1, 0]
+        o1 = cb2[1:t + 1, 1]
         v = (e0 - e1, o0 + e1, e1 - o0, o0 - o1)   # a = 0..3, (T, Tx, cp)
         for a in range(4):
             ms[(a, b)] = jax.lax.dot_general(
@@ -98,6 +102,7 @@ def _wino_kernel(x_ref, xs_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
 
     bias = b_ref[0].astype(jnp.float32)
     # inverse transform: P[i][b] = sum_a A^T[i,a] M[a,b]; Y[i][j] = sum_b A^T[j,b] P[i][b]
+    rows = []
     for i in range(2):
         if i == 0:
             p = [ms[(0, b)] + ms[(1, b)] + ms[(2, b)] for b in range(4)]
@@ -105,19 +110,25 @@ def _wino_kernel(x_ref, xs_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
             p = [ms[(1, b)] - ms[(2, b)] - ms[(3, b)] for b in range(4)]
         y0 = p[0] + p[1] + p[2] + bias              # (T*Tx, Co) cols j=0
         y1 = p[1] - p[2] - p[3] + bias              # cols j=1
-        # lane-merge the two column phases then unmerge to width W
+        # keep the two column phases lane-merged: the (…, Tx, 2Co) ->
+        # (…, W, Co) un-merge is a free host-side reshape (same HBM bytes),
+        # but an unsupported lane->sublane shape cast inside Mosaic
         y = jnp.concatenate([y0, y1], axis=-1)      # (T*Tx, 2Co)
-        y = y.reshape(t, tx, 2 * c_out).reshape(t, width, c_out)
-        o_ref[0, i: bh: 2] = y.astype(o_ref.dtype)
+        rows.append(y.reshape(t, tx, 2 * c_out).astype(o_ref.dtype))
+    # interleave even/odd output rows on the (free) leading axis: no strided
+    # ref stores on TPU
+    full = jnp.stack(rows, axis=1).reshape(bh, tx, 2 * c_out)
+    o_ref[0] = full
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_rows", "interpret"))
+    jax.jit, static_argnames=("block_rows", "fp32_transform", "interpret"))
 def conv3x3_winograd(
     x: jnp.ndarray,        # (B, H, W, C_in)
     kernel: jnp.ndarray,   # (3, 3, C_in, C_out) HWIO
     bias: Optional[jnp.ndarray] = None,
     block_rows: int = 32,
+    fp32_transform: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """3x3 stride-1 same-pad conv via Winograd F(2x2,3x3). H and W even."""
@@ -151,8 +162,20 @@ def conv3x3_winograd(
     if cp != c_in:
         u = jnp.pad(u, ((0, 0), (0, cp - c_in), (0, 0)))
 
-    out = pl.pallas_call(
-        functools.partial(_wino_kernel, bh=bh, width=w, cp=cp, c_out=c_out),
+    out = _wino_pallas(x_t, x_s, u, bias, b=b, hp=hp, w=w, bh=bh,
+                       n_tiles=n_tiles, wcols=wcols, cp=cp, c_out=c_out,
+                       dtype=dtype, fp32_transform=fp32_transform,
+                       interpret=interpret)
+    # un-merge the lane-paired columns: same HBM layout, metadata-only reshape
+    out = out.reshape(b, hp, w, c_out)
+    return out[:, :h]
+
+
+def _wino_pallas(x_t, x_s, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
+                 c_out, dtype, fp32_transform, interpret):
+    return pl.pallas_call(
+        functools.partial(_wino_kernel, bh=bh, width=w, cp=cp, c_out=c_out,
+                          fp32_transform=fp32_transform),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, bh + 2, wcols, 2 * cp),
@@ -162,8 +185,9 @@ def conv3x3_winograd(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bh, w, c_out), lambda bi, i: (bi, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hp, w, c_out), dtype),
+        out_specs=pl.BlockSpec((1, bh, w // 2, 2 * c_out),
+                               lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w // 2, 2 * c_out), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * w * 4 * cp * c_out,   # 16 MACs per 2x2 tile
             bytes_accessed=b * hp * w * (4 * cp + c_out) * 2,
@@ -175,4 +199,45 @@ def conv3x3_winograd(
         ),
         interpret=interpret,
     )(x_t, x_s, u, bias.reshape(1, c_out).astype(jnp.float32))
-    return out[:, :h]
+
+
+def wino_wins(h: int, w: int, c_in: int, c_out: int) -> bool:
+    """Static shape rule for where winograd measured faster than XLA's direct
+    conv on v5e (benchmarks/bench_conv.py): mid-resolution, wide-channel
+    resblock shapes. 64²x320, 8²x1280 and all VAE-decoder shapes measured
+    slower (XLA direct conv reaches 92-116 TFLOP/s there) — excluded. The
+    VMEM cap rejects the up-path skip-concat convs (C_in up to 2560, whose
+    16x(cp, Co) resident transformed weights alone exceed scoped VMEM)."""
+    cp = _round_up(c_in, 128)
+    weight_vmem = 16 * cp * c_out * 2          # bf16 U, grid-resident
+    return (h % 2 == 0 and w % 2 == 0
+            and 12 <= min(h, w) <= 48 and c_in >= 512
+            and weight_vmem <= 56 * 1024 * 1024)
+
+
+@jax.custom_vjp
+def conv3x3_winograd_ad(x, kernel, bias):
+    """conv3x3_winograd with an XLA-direct-conv backward pass (the Pallas
+    kernel has no VJP; training gradients route through lax.conv)."""
+    return conv3x3_winograd(x, kernel, bias)
+
+
+def _direct_ref(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _wino_fwd(x, kernel, bias):
+    return conv3x3_winograd(x, kernel, bias), (x, kernel, bias)
+
+
+def _wino_bwd(res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(_direct_ref, x, kernel, bias)
+    return vjp(g)
+
+
+conv3x3_winograd_ad.defvjp(_wino_fwd, _wino_bwd)

@@ -38,6 +38,42 @@ def test_winograd_matches_direct_conv(h, w, ci, co, bh):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_winoconv_module_matches_nnconv_tree_and_output():
+    """WinoConv3x3 must be checkpoint-identical to nn.Conv and numerically
+    equal on the XLA path (CPU backend never dispatches to the kernel)."""
+    import flax.linen as nn
+
+    from minddiffusion_tpu.models.layers import WinoConv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    ref_mod = nn.Conv(12, (3, 3), padding=1, param_dtype=jnp.float32)
+    win_mod = WinoConv3x3(12)
+    p_ref = ref_mod.init(jax.random.PRNGKey(1), x)
+    p_win = win_mod.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_win))
+    assert (jax.tree.map(lambda a: a.shape, p_ref)
+            == jax.tree.map(lambda a: a.shape, p_win))
+    y_ref = ref_mod.apply(p_ref, x)
+    y_win = win_mod.apply(p_ref, x)
+    np.testing.assert_allclose(np.asarray(y_win), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    # gradient flows
+    g = jax.grad(lambda p: win_mod.apply(p, x).sum())(p_ref)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_wino_shape_rule():
+    from minddiffusion_tpu.ops.winograd import wino_wins
+
+    assert wino_wins(16, 16, 1280, 1280) and wino_wins(32, 32, 640, 640)
+    assert wino_wins(24, 24, 640, 640)           # 768px UNet level
+    assert not wino_wins(64, 64, 320, 320)       # measured slower
+    assert not wino_wins(8, 8, 1280, 1280)       # transform-bound
+    assert not wino_wins(17, 16, 1280, 1280)     # odd spatial unsupported
+    assert not wino_wins(16, 16, 2560, 1280)     # skip-concat conv: VMEM cap
+
+
 def test_winograd_bf16():
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     x = jax.random.normal(ks[0], (1, 8, 8, 16)).astype(jnp.bfloat16)
