@@ -54,6 +54,8 @@ def run_config(name: str, env: dict, attn_impl, batch: int = 16) -> float:
             np.asarray(out[0, 0, 0])
             ts.append(time.perf_counter() - t0)
         per_step = min(ts) / STEPS
+        if os.environ.get("MDT_TRACE"):
+            _trace_breakdown(run, x, per_step)
         flops = 12.55e12 * batch / 16
         print(f"{name:14s} b{batch}: {per_step*1e3:7.2f} ms/step "
               f"({flops/per_step/1e12:6.1f} T eff)", flush=True)
@@ -61,6 +63,47 @@ def run_config(name: str, env: dict, attn_impl, batch: int = 16) -> float:
     finally:
         for k in env:
             os.environ.pop(k, None)
+
+
+def _trace_breakdown(run, x, per_step):
+    """Trace one run and print per-op-group ms/step (share * measured step)."""
+    import collections
+    import glob
+    import json
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    trace_dir = "/tmp/unet_step_trace"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    out = run(x)
+    np.asarray(out[0, 0, 0])
+    jax.profiler.stop_trace()
+    pbs = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(pbs, "op_profile", {})
+    prof = json.loads(data) if isinstance(data, (str, bytes)) else data
+
+    acc = []
+
+    def walk(node, acc):
+        ch = node.get("children", [])
+        if not ch:
+            m = node.get("metrics", {})
+            acc.append((m.get("rawTime", m.get("time", 0.0)),
+                        node.get("name", "?")))
+        for c in ch:
+            walk(c, acc)
+
+    walk(prof.get("byCategory") or prof, acc)
+    total = sum(t for t, _ in acc) or 1.0
+    groups = collections.defaultdict(float)
+    for t, name in acc:
+        base = name.split(".")[0]
+        groups[base] += t
+    print(f"  -- op groups (ms/step of {per_step*1e3:.2f}):")
+    for g, t in sorted(groups.items(), key=lambda kv: -kv[1])[:18]:
+        print(f"  {t/total*per_step*1e3:7.2f} ms  {t/total*100:5.1f}%  {g}")
 
 
 CONFIGS = {

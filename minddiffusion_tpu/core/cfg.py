@@ -41,6 +41,7 @@ def wrap_model(
     apply_fn: Callable[[jnp.ndarray, jnp.ndarray, Pytree], jnp.ndarray],
     folded_cond: Pytree,
     scale: float,
+    dedup: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Turn an (x, t, cond)->eps model into a guided (x, t)->eps model.
 
@@ -48,12 +49,17 @@ def wrap_model(
     have batch B and are duplicated internally. With scale == 1.0 guidance
     reduces to the conditional branch but we still run both halves — keeping
     the traced program shape-stable across scales.
+
+    `dedup=True`: apply_fn receives x/t at batch B (NOT duplicated) and must
+    return a 2B [uncond; cond] output itself — the UNet cfg_fold path, which
+    runs the network prefix once instead of twice (models/unet.py).
     """
 
     def guided(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        x2 = duplicate(x)
-        t2 = duplicate(t)
-        eps2 = apply_fn(x2, t2, folded_cond)
+        if dedup:
+            eps2 = apply_fn(x, t, folded_cond)
+        else:
+            eps2 = apply_fn(duplicate(x), duplicate(t), folded_cond)
         return guide(eps2, scale)
 
     return guided

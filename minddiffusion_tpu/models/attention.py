@@ -188,13 +188,20 @@ class BasicTransformerBlock(nn.Module):
     fuse_ff: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 cfg_fold: bool = False) -> jnp.ndarray:
         lora = dict(enable_lora=self.enable_lora, lora_rank=self.lora_rank,
                     lora_alpha=self.lora_alpha)
         x = x + CrossAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             dtype=self.dtype, attn_impl=self.attn_impl, name="attn1", **lora,
         )(LayerNormFp32(name="norm1")(x))
+        if cfg_fold:
+            # CFG dedup handoff: everything upstream (UNet prefix, this
+            # block's LN + self-attention) ran once at batch B; the two
+            # guidance halves first diverge HERE, where context enters.
+            # [x; x] matches core.cfg.fold's [uncond; cond] layout.
+            x = jnp.concatenate([x, x], axis=0)
         x = x + CrossAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             context_dim=self.context_dim, dtype=self.dtype, attn_impl=self.attn_impl,
@@ -236,7 +243,8 @@ class SpatialTransformer(nn.Module):
     attn_impl: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 cfg_fold: bool = False) -> jnp.ndarray:
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -253,10 +261,12 @@ class SpatialTransformer(nn.Module):
                 enable_lora=self.enable_lora, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha, attn_impl=self.attn_impl,
                 name=f"block_{i}",
-            )(x, context=context)
+            )(x, context=context, cfg_fold=cfg_fold and i == 0)
         if self.use_linear:
             x = dense(self.in_channels, self.dtype, zero_init=True, name="proj_out")(x)
-        x = x.reshape(b, h, w, -1)
+        x = x.reshape(x.shape[0], h, w, -1)
         if not self.use_linear:
             x = conv1x1(self.in_channels, self.dtype, zero_init=True, name="proj_out")(x)
+        if cfg_fold:
+            residual = jnp.concatenate([residual, residual], axis=0)
         return x + residual

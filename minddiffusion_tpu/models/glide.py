@@ -23,6 +23,7 @@ kernel covers the whole op; bf16 compute, fp32 norm/softmax islands.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
@@ -93,7 +94,16 @@ class XfTextEncoder(nn.Module):
         pos_emb = self.param("positional_embedding", nn.initializers.normal(0.01),
                              (cfg.text_ctx, cfg.width), jnp.float32)
         # mode='clip': jax fills OOB gathers with NaN by default; clamp
-        # instead so stray token ids degrade gracefully
+        # instead so stray token ids degrade gracefully. Clamping can mask
+        # tokenizer bugs, so MDT_DEBUG_TOKENS=1 turns OOB ids into a hard
+        # error (checkify-free host assert via debug_callback).
+        if os.environ.get("MDT_DEBUG_TOKENS"):
+            def _check(tok):
+                if (tok < 0).any() or (tok >= cfg.n_vocab).any():
+                    raise ValueError(
+                        f"token id out of range [0, {cfg.n_vocab}): "
+                        f"min={tok.min()} max={tok.max()}")
+            jax.debug.callback(_check, tokens)
         x = jnp.take(tok_emb, tokens, axis=0, mode='clip').astype(cfg.dtype)
         x = x + pos_emb[None].astype(cfg.dtype)
         if cfg.xf_padding:

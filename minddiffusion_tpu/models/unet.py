@@ -179,9 +179,24 @@ class UNetModel(nn.Module):
         timesteps: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None,
+        cfg_fold: bool = False,
     ) -> jnp.ndarray:
+        """cfg_fold=True: classifier-free-guidance dedup. `x`/`timesteps` come
+        in at batch B while `context` is the [uncond; cond] fold at 2B; the
+        network runs ONCE at B until the first cross-attention (where the two
+        guidance halves first differ), then duplicates activations to 2B.
+        Output batch is 2B, numerically identical to applying the model to
+        [x; x] — the prefix (in_conv, first resblock, first LN/proj/self-attn)
+        is simply not computed twice. Requires a context and at least one
+        spatial transformer; class labels (y) are per-half, so adm models
+        cannot fold."""
         cfg = self.config
         time_embed_dim = cfg.model_channels * 4
+        if cfg_fold:
+            if context is None:
+                raise ValueError("cfg_fold requires cross-attention context")
+            if y is not None:
+                raise ValueError("cfg_fold is incompatible with class labels")
 
         t_emb = timestep_embedding(timesteps, cfg.model_channels)
         emb = dense(time_embed_dim, cfg.dtype, name="time_embed_0")(t_emb.astype(cfg.dtype))
@@ -200,6 +215,17 @@ class UNetModel(nn.Module):
 
         res_block = nn.remat(ResBlock) if cfg.remat else ResBlock
 
+        pending_fold = cfg_fold
+
+        def transformer(h, ch, name):
+            nonlocal pending_fold, emb
+            h = self._spatial_transformer(ch, name)(h, context,
+                                                    cfg_fold=pending_fold)
+            if pending_fold:
+                emb = jnp.concatenate([emb, emb], axis=0)
+                pending_fold = False
+            return h
+
         hs = []
         h = conv3x3(cfg.model_channels, cfg.dtype, name="in_conv")(h)
         hs.append(h)
@@ -213,7 +239,7 @@ class UNetModel(nn.Module):
                               use_scale_shift_norm=cfg.use_scale_shift_norm,
                               name=f"down_{level}_{i}_res")(h, emb)
                 if ds in cfg.attention_resolutions:
-                    h = self._spatial_transformer(ch, f"down_{level}_{i}_attn")(h, context)
+                    h = transformer(h, ch, f"down_{level}_{i}_attn")
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
@@ -229,22 +255,27 @@ class UNetModel(nn.Module):
         h = res_block(out_channels=ch, dtype=cfg.dtype,
                       use_scale_shift_norm=cfg.use_scale_shift_norm,
                       name="mid_res1")(h, emb)
-        h = self._spatial_transformer(ch, "mid_attn")(h, context)
+        h = transformer(h, ch, "mid_attn")
         h = res_block(out_channels=ch, dtype=cfg.dtype,
                       use_scale_shift_norm=cfg.use_scale_shift_norm,
                       name="mid_res2")(h, emb)
+        if pending_fold:
+            raise ValueError("cfg_fold requires at least one spatial transformer")
 
         # --- up path ---
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
+                if skip.shape[0] != h.shape[0]:
+                    # pre-fold skip (batch B) meeting a folded h (2B)
+                    skip = jnp.concatenate([skip, skip], axis=0)
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * cfg.model_channels
                 h = res_block(out_channels=ch, dtype=cfg.dtype,
                               use_scale_shift_norm=cfg.use_scale_shift_norm,
                               name=f"up_{level}_{i}_res")(h, emb)
                 if ds in cfg.attention_resolutions:
-                    h = self._spatial_transformer(ch, f"up_{level}_{i}_attn")(h, context)
+                    h = transformer(h, ch, f"up_{level}_{i}_attn")
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
                         h = res_block(out_channels=ch, dtype=cfg.dtype,

@@ -245,7 +245,7 @@ def _flash_bnhd(
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, exact: bool,
-                   heads: int, head_dim: int):
+                   heads: int, head_dim: int, grouped: bool = False):
     """Heads-packed single-k-block kernel.
 
     Blocks are (1, bq, C) / (1, Nk, C) slices of the native (B, N, C=H*D)
@@ -253,29 +253,54 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, exact: bool,
     Mosaic allows), so NO head-transpose copies exist anywhere. Heads are
     processed by an in-kernel python loop over 64-lane slices; K/V tiles are
     DMA'd once per (batch, q-tile) and reused by every head.
+
+    Fast (exact=False) softmax uses raw exp(s) with NO shift: softmax is
+    shift-invariant after the acc/l division, so the shift's only job is
+    fp32-exp overflow safety (s > ~88). SD attention logits sit |s| < ~30;
+    dropping the subtraction removes one full VPU pass over the score tile.
+
+    grouped=True splits the per-head loop into phases (all QK^T matmuls,
+    then all exp/sum, then all PV) so Mosaic can overlap head h+1's MXU work
+    with head h's VPU softmax.
     """
-    for h in range(heads):
+    def qk(h):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = (q_ref[0][:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
         k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def softmax_p(s):
         if exact:
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
         else:
-            p = jnp.exp(s - _FAST_SHIFT)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+        return p, jnp.sum(p, axis=-1, keepdims=True)
+
+    def pv(h, p, l):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        v = v_ref[0][:, sl]
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
 
+    if grouped:
+        ss = [qk(h) for h in range(heads)]
+        pls = [softmax_p(s) for s in ss]
+        for h, (p, l) in enumerate(pls):
+            pv(h, p, l)
+    else:
+        for h in range(heads):
+            p, l = softmax_p(qk(h))
+            pv(h, p, l)
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "heads", "block_q", "exact", "interpret"),
+    static_argnames=("scale", "heads", "block_q", "exact", "grouped",
+                     "interpret"),
 )
 def flash_attention_packed(
     q: jnp.ndarray,  # (B, Nq, C)
@@ -285,6 +310,7 @@ def flash_attention_packed(
     heads: int,
     block_q: int = 256,
     exact: bool = True,
+    grouped: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention over packed heads; whole K per block (Nk <= ~4096)."""
@@ -297,7 +323,7 @@ def flash_attention_packed(
         q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
     grid = (b, pl.cdiv(nq + pad, qb))
     kernel = functools.partial(_packed_kernel, scale=scale, exact=exact,
-                               heads=heads, head_dim=d)
+                               heads=heads, head_dim=d, grouped=grouped)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -397,6 +423,101 @@ def flash_attention_packed_ones(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, va)
+    return out[:, :nq]
+
+
+def _packed_fold_kernel(q_ref, k_ref, v_ref, o_ref, va_ref, *, scale: float,
+                        exact: bool, heads: int, head_dim: int):
+    """Heads-packed kernel with the softmax row-sum folded into PV — built
+    IN-KERNEL, so the host-side V-augment concat (which measurably regressed
+    e2e) never exists.
+
+    The row-sum over the key axis is a LANE reduction: measured 1.35 ms per
+    ds1 site (26% of the op) vs the QK matmul's 2.06 ms — the single largest
+    non-MXU cost. PV's N=64 output occupies half a 128-lane MXU tile anyway,
+    so an augmented V' = [v_h | 1 | 0...] per head makes the same matmul
+    return [p@v | sum(p)] for free. V' lives in VMEM scratch, built once per
+    batch (grid iterates q-tiles innermost; pl.when(i==0) guards the build)
+    and reused by all q tiles.
+
+    d=64 only (2*d must tile 128 lanes); callers fall back to _packed_kernel
+    otherwise."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _build_va():
+        for h in range(heads):
+            v = v_ref[0][:, h * head_dim:(h + 1) * head_dim]
+            va_ref[:, 2 * h * head_dim: (2 * h + 1) * head_dim] = v
+            ones = jnp.ones((v.shape[0], 1), v.dtype)
+            zeros = jnp.zeros((v.shape[0], head_dim - 1), v.dtype)
+            va_ref[:, (2 * h + 1) * head_dim: (2 * h + 2) * head_dim] = (
+                jnp.concatenate([ones, zeros], axis=-1))
+
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if exact:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+        else:
+            p = jnp.exp(s)
+        va = va_ref[:, 2 * h * head_dim: 2 * (h + 1) * head_dim]
+        acc = jax.lax.dot_general(
+            p.astype(va.dtype), va, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (bq, 2d) = [p@v | l ..]
+        l = acc[:, head_dim: head_dim + 1]
+        o_ref[0, :, sl] = (acc[:, :head_dim] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "heads", "block_q", "exact", "interpret"),
+)
+def flash_attention_packed_fold(
+    q: jnp.ndarray,  # (B, Nq, C)
+    k: jnp.ndarray,  # (B, Nk, C)
+    v: jnp.ndarray,
+    scale: float,
+    heads: int,
+    block_q: int = 256,
+    exact: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """flash_attention_packed with the in-kernel scratch ones-fold (d=64)."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    d = c // heads
+    assert d == 64, "fold path requires head_dim 64"
+    qb = min(block_q, nq)
+    pad = (-nq) % qb
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    grid = (b, pl.cdiv(nq + pad, qb))
+    kernel = functools.partial(_packed_fold_kernel, scale=scale, exact=exact,
+                               heads=heads, head_dim=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, qb, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, nk, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, nk, c), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qb, c), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq + pad, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((nk, 2 * c), v.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * nq * nk * d,
+            bytes_accessed=2 * b * (nq + 2 * nk) * c,
+            transcendentals=b * heads * nq * nk,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v)
     return out[:, :nq]
 
 

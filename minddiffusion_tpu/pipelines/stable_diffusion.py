@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -129,13 +130,20 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
     hybrid (concat2b channel concat, inpaint), adm (class_labels2b added to
     the t-embedding via the UNet label_emb)."""
 
+    # CFG-prefix dedup: run the UNet prefix (everything before the first
+    # cross-attention) once at batch B instead of twice — numerically
+    # identical, measurably cheaper. Inapplicable when the guidance halves
+    # differ before cross-attention (channel-concat or class conditioning).
+    dedup = (concat2b is None and class_labels2b is None
+             and os.environ.get("MDT_CFG_DEDUP", "1") != "0")
+
     def apply_fn(x2, t2, ctx2):
         if concat2b is not None:
             x2 = jnp.concatenate([x2, concat2b.astype(x2.dtype)], axis=-1)
         return models.unet.apply(params["unet"], x2, t2, ctx2,
-                                 y=class_labels2b)
+                                 y=class_labels2b, cfg_fold=dedup)
 
-    return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale)
+    return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale, dedup=dedup)
 
 
 def _run_sampler(sampler: str, eps_fn, x_T, schedule, num_steps, key,

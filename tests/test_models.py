@@ -141,3 +141,41 @@ def test_unet_adm_class_conditioning():
     import pytest
     with pytest.raises(ValueError):
         model.apply(params, x, t, ctx)
+
+
+def test_unet_cfg_fold_matches_duplicated_batch():
+    """cfg_fold (CFG-prefix dedup) must equal applying the model to [x; x]
+    with the same 2B folded context — including transformer depth>1 and the
+    mid-attn-only fold edge (no down-path attention)."""
+    for attn_res, depth in (((2, 1), 1), ((), 1), ((2,), 2)):
+        cfg = tiny_unet_config()
+        cfg = cfg.replace(attention_resolutions=attn_res,
+                          transformer_depth=depth)
+        model = UNetModel(cfg)
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.array([3, 700])
+        ctx4 = jax.random.normal(jax.random.PRNGKey(2), (4, 7, 16))
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx4[:2])
+
+        ref = model.apply(params, jnp.concatenate([x, x], 0),
+                          jnp.concatenate([t, t], 0), ctx4)
+        out = model.apply(params, x, t, ctx4, cfg_fold=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_unet_cfg_fold_rejects_unfoldable():
+    cfg = tiny_unet_config(num_classes=5)
+    model = UNetModel(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((2, 7, 16))
+    y = jnp.zeros((2,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx[:1],
+                        y=y[:1])
+    with pytest.raises(ValueError):
+        model.apply(params, x, t, ctx, y=y, cfg_fold=True)
+    with pytest.raises(ValueError):
+        model.apply(params, x, t, None, cfg_fold=True)
