@@ -20,7 +20,7 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
-STEPS = 20
+STEPS = 50
 
 
 def run_config(name: str, env: dict, attn_impl, batch: int = 16) -> float:
@@ -95,7 +95,7 @@ def _trace_breakdown(run, x, per_step):
         for c in ch:
             walk(c, acc)
 
-    walk(prof.get("byCategory") or prof, acc)
+    walk(prof.get("byCategory") or prof.get("byProgram") or prof, acc)
     total = sum(t for t, _ in acc) or 1.0
     groups = collections.defaultdict(float)
     for t, name in acc:
@@ -116,6 +116,8 @@ CONFIGS = {
     "b32": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0", MDT_WINO="0"), None, 32),
     "wino": (dict(MDT_FUSE_FF="0", MDT_ONES_ATTN="0", MDT_WINO="1"), None, 16),
     "wino_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1"), "pallas_fast", 16),
+    "fold_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_FOLD_ATTN="1"),
+                  "pallas_fast", 16),
 }
 
 

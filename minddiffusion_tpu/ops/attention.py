@@ -118,19 +118,24 @@ def packed_attention(
         if vmem <= _PACKED_VMEM_BUDGET + bq * nk * 4:
             from minddiffusion_tpu.ops import flash_attention
 
+            import os
+
             if impl == "pallas_fast":
-                # static-shift softmax (exact below logit 108): no max pass,
-                # measured 3.50ms vs 3.90ms at ds1 — serving opt-in
+                # raw-exp softmax (no shift; exact below logit 88): no max
+                # pass — serving opt-in. MDT_FOLD_ATTN=1 additionally folds
+                # the softmax row-sum into the PV matmul via in-kernel
+                # scratch V-augment (d=64 only).
+                if (os.environ.get("MDT_FOLD_ATTN", "0") == "1"
+                        and c // heads == 64):
+                    return flash_attention.flash_attention_packed_fold(
+                        q, k, v, scale=float(scale), heads=heads, block_q=bq,
+                        exact=False)
                 return flash_attention.flash_attention_packed(
                     q, k, v, scale=float(scale), heads=heads, block_q=bq,
                     exact=False)
-            # ones-column fold (row-sum rides the PV matmul): isolated win
-            # (3.60ms vs 3.90ms at ds1) but e2e-slower in the sampler scan —
-            # the per-call V-augment concat costs HBM the isolated bench
-            # amortizes. Opt-in via MDT_ONES_ATTN=1 pending a V-layout that
-            # builds the augmented tensor inside the kernel.
-            import os
-
+            # ones-column fold (row-sum rides the PV matmul) via host-side
+            # V-augment concat: e2e-slower (the concat costs real HBM);
+            # superseded by the in-kernel MDT_FOLD_ATTN variant above.
             if os.environ.get("MDT_ONES_ATTN", "0") == "1":
                 return flash_attention.flash_attention_packed_ones(
                     q, k, v, scale=float(scale), heads=heads, block_q=bq,

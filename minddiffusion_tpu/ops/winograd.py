@@ -203,10 +203,13 @@ def _wino_pallas(x_t, x_s, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
 
 def wino_wins(h: int, w: int, c_in: int, c_out: int) -> bool:
     """Static shape rule for where winograd measured faster than XLA's direct
-    conv on v5e (benchmarks/bench_conv.py): mid-resolution, wide-channel
-    resblock shapes. 64²x320, 8²x1280 and all VAE-decoder shapes measured
-    slower (XLA direct conv reaches 92-116 TFLOP/s there) — excluded. The
-    VMEM cap rejects the up-path skip-concat convs (C_in up to 2560, whose
+    conv on v5e (benchmarks/bench_conv64.py, 100-step scans — the 20-step
+    numbers carried a ~2 ms/step tunnel-dispatch bias that inflated every
+    ratio). Corrected truth: XLA direct conv runs at 111-190 TFLOP/s at SD
+    shapes; winograd only beats it at the low-resolution wide-channel
+    resblocks (16²x1280: 0.84 vs 0.94 ms). 64²x320 (1.96 vs 1.08), 32²x640
+    (0.98 vs 0.93), 8² and VAE-decoder shapes all lose — excluded. The VMEM
+    cap rejects the up-path skip-concat convs (C_in up to 2560, whose
     16x(cp, Co) resident transformed weights alone exceed scoped VMEM)."""
     cp = _round_up(c_in, 128)
     weight_vmem = 16 * cp * c_out * 2          # bf16 U, grid-resident

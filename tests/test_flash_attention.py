@@ -90,3 +90,18 @@ def test_conv3x3_kernel_parity():
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
     out = conv3x3_pallas(x, k, bias, block_rows=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("heads", [1, 4])
+@pytest.mark.parametrize("exact", [True, False])
+def test_packed_fold_kernel_parity(heads, exact):
+    from minddiffusion_tpu.ops.flash_attention import flash_attention_packed_fold
+
+    b, n, d = 2, 256, 64
+    c = heads * d
+    q, k, v = qkv(b, n, n, heads, d, seed=17)
+    ref = einsum_attention(q, k, v).reshape(b, n, c)
+    out = flash_attention_packed_fold(
+        q.reshape(b, n, c), k.reshape(b, n, c), v.reshape(b, n, c),
+        scale=d ** -0.5, heads=heads, block_q=128, exact=exact, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

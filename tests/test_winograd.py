@@ -66,8 +66,9 @@ def test_winoconv_module_matches_nnconv_tree_and_output():
 def test_wino_shape_rule():
     from minddiffusion_tpu.ops.winograd import wino_wins
 
-    assert wino_wins(16, 16, 1280, 1280) and wino_wins(32, 32, 640, 640)
+    assert wino_wins(16, 16, 1280, 1280)
     assert wino_wins(24, 24, 640, 640)           # 768px UNet level
+    assert wino_wins(32, 32, 640, 640)           # e2e win (in-program)
     assert not wino_wins(64, 64, 320, 320)       # measured slower
     assert not wino_wins(8, 8, 1280, 1280)       # transform-bound
     assert not wino_wins(17, 16, 1280, 1280)     # odd spatial unsupported
