@@ -53,12 +53,13 @@ def transform_weights(kernel: jnp.ndarray) -> jnp.ndarray:
     return u.reshape(16, *kernel.shape[2:])
 
 
-def _wino_kernel(x_ref, xs_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
+def _wino_kernel(x_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
                  cp: int, c_out: int, fp32_transform: bool):
     """One (batch, row-tile) program. See module docstring for phases.
 
-    x_ref:  (1, 1, bh+2, (W+2)//2, 2*cp)  even|odd column-merged halo tile
-    xs_ref: same, shifted one column-group (cols 2..W+3)
+    x_ref:  (1, 1, bh+2, (W+4)//2, 2*cp)  even|odd column-merged halo tile
+            (W+4 columns so the +1-group shift stays inside the tile — the
+            middle dim is untiled, so the shifted slices below are free)
     u_ref:  (16, cp, c_out) transformed weights (grid-resident)
     b_ref:  (1, c_out)
     o_ref:  (1, bh, W//2, 2*c_out)  column-pair lane-merged (host un-merges)
@@ -67,14 +68,14 @@ def _wino_kernel(x_ref, xs_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
     tx = width // 2
 
     tdt = jnp.float32 if fp32_transform else x_ref.dtype
-    q = x_ref[0, 0]             # (bh+2, (W+2)/2, 2cp)
-    qs = xs_ref[0, 0]
+    q = x_ref[0, 0]             # (bh+2, (W+4)/2, 2cp)
     # column combos (B^T applied to the W axis); d0..d3 are the 4 winograd
-    # columns of each tile: evens, odds, evens+1, odds+1
+    # columns of each tile: evens, odds, evens+1, odds+1 — the +1 variants
+    # are the next lane-merged column group of the SAME tile
     ec = q[:, 0:tx, 0:cp].astype(tdt)
     oc = q[:, 0:tx, cp:2 * cp].astype(tdt)
-    ec1 = qs[:, 0:tx, 0:cp].astype(tdt)   # = evens shifted one group
-    oc1 = qs[:, 0:tx, cp:2 * cp].astype(tdt)
+    ec1 = q[:, 1:tx + 1, 0:cp].astype(tdt)
+    oc1 = q[:, 1:tx + 1, cp:2 * cp].astype(tdt)
     c0 = ec - ec1
     c1 = oc + ec1
     c2 = ec1 - oc
@@ -148,21 +149,21 @@ def conv3x3_winograd(
     n_tiles = hp // bh
 
     # halo tiles, with C padded so the even/odd lane-merge keeps 128-aligned
-    # halves: (B, n, bh+2, W+2, cp) -> lane-merged (B, n, bh+2, (W+2)/2, 2cp)
+    # halves. W padded to w+4 (even) so the whole tile lane-merges with a
+    # FREE contiguous reshape — no sliced/shifted copies (the kernel takes
+    # its +1-group shifted views from the untiled middle dim).
     xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, 3), (0, cp - c_in)))
-    # cols 0..W+1 (standard halo) and 2..W+3 (shifted one column-group)
     row_idx = (jnp.arange(n_tiles)[:, None] * bh
                + jnp.arange(bh + 2)[None, :])       # (n_tiles, bh+2)
     tiles = xp[:, row_idx]                          # (B, n, bh+2, W+4, cp)
-    wcols = (w + 2) // 2
-    x_t = tiles[:, :, :, :w + 2].reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
-    x_s = tiles[:, :, :, 2:w + 4].reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
+    wcols = (w + 4) // 2
+    x_t = tiles.reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
 
     u = transform_weights(kernel).astype(dtype)     # (16, C_in, Co)
     if cp != c_in:
         u = jnp.pad(u, ((0, 0), (0, cp - c_in), (0, 0)))
 
-    out = _wino_pallas(x_t, x_s, u, bias, b=b, hp=hp, w=w, bh=bh,
+    out = _wino_pallas(x_t, u, bias, b=b, hp=hp, w=w, bh=bh,
                        n_tiles=n_tiles, wcols=wcols, cp=cp, c_out=c_out,
                        dtype=dtype, fp32_transform=fp32_transform,
                        interpret=interpret)
@@ -171,15 +172,13 @@ def conv3x3_winograd(
     return out[:, :h]
 
 
-def _wino_pallas(x_t, x_s, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
+def _wino_pallas(x_t, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
                  c_out, dtype, fp32_transform, interpret):
     return pl.pallas_call(
         functools.partial(_wino_kernel, bh=bh, width=w, cp=cp, c_out=c_out,
                           fp32_transform=fp32_transform),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, bh + 2, wcols, 2 * cp),
-                         lambda bi, i: (bi, i, 0, 0, 0)),
             pl.BlockSpec((1, 1, bh + 2, wcols, 2 * cp),
                          lambda bi, i: (bi, i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -198,7 +197,7 @@ def _wino_pallas(x_t, x_s, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(x_t, x_s, u, bias.reshape(1, c_out).astype(jnp.float32))
+    )(x_t, u, bias.reshape(1, c_out).astype(jnp.float32))
 
 
 def wino_wins(h: int, w: int, c_in: int, c_out: int) -> bool:
