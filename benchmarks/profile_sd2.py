@@ -29,7 +29,8 @@ def main():
     trace_dir = "/tmp/sd2_trace"
     os.system(f"rm -rf {trace_dir}")
 
-    models = SDModels.create(family="sd2", dtype=jnp.bfloat16)
+    models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
+                             attn_impl=os.environ.get("MDT_PROF_ATTN") or None)
     params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)

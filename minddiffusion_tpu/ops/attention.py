@@ -74,6 +74,7 @@ def dot_product_attention(
         use_pallas = (
             bias is None
             and q.shape[1] >= _PALLAS_MIN_TOKENS
+            and k.shape[1] >= 512   # short-key cross-attn: einsum wins
             and _pallas_available()
         )
         impl = "pallas" if use_pallas else "xla"
@@ -109,8 +110,12 @@ def packed_attention(
     d = c // heads
     if scale is None:
         scale = d ** -0.5
+    # Short-key cross-attention (Nk=77 text context) runs at ~18T in the
+    # packed kernel (16 q-tiles x heads of tiny matmuls, program-overhead
+    # bound) vs XLA's fused einsum; route it to the einsum path. Profile:
+    # 354us -> target <150us per ds1 cross site.
     if (impl in (None, "pallas_fast") and q.shape[1] >= _PALLAS_MIN_TOKENS
-            and _pallas_available()):
+            and nk >= 512 and _pallas_available()):
         # bq256 runs the exact path ~10% faster than bq128 when the score
         # tile fits; fall back to 128 for long keys
         bq = 256 if 256 * nk * 4 <= 6 * 1024 * 1024 else 128

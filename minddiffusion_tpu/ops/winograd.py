@@ -2,10 +2,12 @@
 
 Direct 3x3 conv spends 9 MACs per output-channel-pixel; Winograd F(2x2,3x3)
 spends 16 MACs per 2x2-pixel tile = 4 per pixel, a 2.25x FLOP reduction on
-the MXU (the transforms are cheap VPU adds). XLA:TPU lowers conv as direct
-implicit GEMM (~54 TFLOP/s at SD resblock shapes, 27% of v5e peak), so the
-FLOP cut is the one conv lever XLA cannot reach — at 512² SD2 the resblock
-conv stack is ~28 ms of the 89 ms UNet step.
+the MXU (the transforms are cheap VPU adds). XLA:TPU's direct conv is
+already excellent at SD shapes (111-190 TFLOP/s, xprof-verified), so the
+FLOP cut only pays where the kernel's own matmul efficiency stays above
+~45% of XLA's — the low/mid-resolution wide-channel resblocks (see
+wino_wins). Wired into models/layers.conv3x3; e2e UNet step 89.0 -> 84.8 ms
+with this kernel at its winning shapes.
 
 Scheme (per (batch, row-tile) grid program, all in VMEM):
   input tile (bh+2, W+2, C) -- host-side halo gather, like ops/conv3x3 --
