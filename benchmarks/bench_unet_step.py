@@ -118,6 +118,10 @@ CONFIGS = {
     "wino_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1"), "pallas_fast", 16),
     "fold_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_FOLD_ATTN="1"),
                   "pallas_fast", 16),
+    "gnb_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_GN_BARRIER="1"),
+                 "pallas_fast", 16),
+    "split_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_SPLIT_CONCAT="1"),
+                   "pallas_fast", 16),
 }
 
 

@@ -97,6 +97,28 @@ def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = 
     )
 
 
+def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
+                     dtype: Dtype) -> jnp.ndarray:
+    """Functional 3x3 same-pad conv with the winograd/XLA shape dispatch used
+    by WinoConv3x3 (shared by the split-concat resblock path)."""
+    from minddiffusion_tpu.ops import winograd
+
+    _, h, w, c = x.shape
+    features = kernel.shape[-1]
+    use_wino = (jax.default_backend() == "tpu"
+                and winograd.wino_wins(h, w, c, features)
+                and os.environ.get("MDT_WINO", "1") != "0")
+    x = x.astype(dtype)
+    if bias is None:
+        bias = jnp.zeros((features,), jnp.float32)
+    if use_wino:
+        return winograd.conv3x3_winograd_ad(x, kernel.astype(dtype), bias)
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
 class WinoConv3x3(nn.Module):
     """3x3 stride-1 conv that dispatches to the Winograd F(2x2,3x3) Pallas
     kernel at the shapes where it measured faster than XLA's direct conv
@@ -117,23 +139,10 @@ class WinoConv3x3(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        _, h, w, c = x.shape
-        from minddiffusion_tpu.ops import winograd
-
-        use_wino = (jax.default_backend() == "tpu"
-                    and winograd.wino_wins(h, w, c, self.features)
-                    and os.environ.get("MDT_WINO", "1") != "0")
-        x = x.astype(self.dtype)
-        if use_wino:
-            return winograd.conv3x3_winograd_ad(
-                x, kernel.astype(self.dtype), bias)
-        # match nn.Conv exactly: output in compute dtype (a preferred fp32
-        # output doubles the write traffic for no accuracy gain — the MXU
+        # output in compute dtype like nn.Conv (a preferred fp32 output
+        # doubles the write traffic for no accuracy gain — the MXU
         # accumulator is fp32 either way)
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bias.astype(self.dtype)
+        return conv3x3_dispatch(x, kernel, bias, self.dtype)
 
 
 def conv3x3(features: int, dtype: Dtype, zero_init: bool = False, stride: int = 1,

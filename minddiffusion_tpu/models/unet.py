@@ -20,8 +20,10 @@ transformer. SD1/wukong: heads 8, ctx 768, conv projections.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
@@ -29,6 +31,7 @@ from flax import struct
 from minddiffusion_tpu.models.attention import SpatialTransformer
 from minddiffusion_tpu.models.layers import (
     GroupNorm32,
+    conv3x3_dispatch,
     avg_pool_2x,
     conv1x1,
     conv3x3,
@@ -88,8 +91,98 @@ class UNetConfig:
         return cls(in_channels=9, num_heads=8, context_dim=768, **kw)
 
 
+class _GNInner(nn.Module):
+    """Mirrors nn.GroupNorm's {scale, bias} params (under GroupNorm_0)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _GN32Params(nn.Module):
+    """Declares GroupNorm32's exact param tree (<name>/GroupNorm_0/...)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _GNInner(self.dim, name="GroupNorm_0")()
+
+
+class _Conv3x3Params(nn.Module):
+    """Declares WinoConv3x3's {kernel, bias} without computing."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_ch, self.out_ch), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                       jnp.float32)
+        return k, b
+
+
+class _Conv1x1Params(nn.Module):
+    """Declares nn.Conv(1x1)'s {kernel, bias} without computing."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_ch, self.out_ch), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                       jnp.float32)
+        return k, b
+
+
+def _split_group_norm_silu(parts, scale, bias, num_groups=32, eps=1e-5):
+    """GroupNorm+SiLU over the channel-concat of `parts` WITHOUT materializing
+    the concat: group moments come from per-part per-channel partial sums
+    (straddling groups combine partials exactly), then each part normalizes
+    with its slice of the affine params. Returns the normalized parts."""
+    c = sum(p.shape[-1] for p in parts)
+    gs = c // num_groups
+    stats = []
+    for p in parts:
+        x32 = p.astype(jnp.float32)
+        stats.append((jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))))
+    s1 = jnp.concatenate([s for s, _ in stats], axis=-1)       # (B, C)
+    s2 = jnp.concatenate([q for _, q in stats], axis=-1)
+    n = parts[0].shape[1] * parts[0].shape[2] * gs
+    b = s1.shape[0]
+    mu_g = s1.reshape(b, num_groups, gs).sum(-1) / n           # (B, G)
+    ex2_g = s2.reshape(b, num_groups, gs).sum(-1) / n
+    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
+    mu_c = jnp.repeat(mu_g, gs, axis=-1)                       # (B, C)
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)
+    out, off = [], 0
+    for p in parts:
+        cw = p.shape[-1]
+        sl = slice(off, off + cw)
+        norm = ((p.astype(jnp.float32) - mu_c[:, None, None, sl])
+                * inv_c[:, None, None, sl] * scale[sl] + bias[sl])
+        out.append(nn.silu(norm).astype(p.dtype))
+        off += cw
+    return out
+
+
 class ResBlock(nn.Module):
-    """GN-SiLU-conv / +t-emb / GN-SiLU-zeroconv with learned skip if needed."""
+    """GN-SiLU-conv / +t-emb / GN-SiLU-zeroconv with learned skip if needed.
+
+    `skip`: optional second input whose channel-concat with `x` is the
+    reference's up-path input (openaimodel.py cat+ResBlock). When given, the
+    concat is NEVER materialized: GroupNorm moments combine per-part partial
+    sums and conv_in/skip-1x1 split their kernels on the input-channel axis
+    (a conv over a concat is the sum of convs over the parts). Param tree is
+    identical either way."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
@@ -98,7 +191,10 @@ class ResBlock(nn.Module):
     down: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
+                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if skip is not None:
+            return self._call_split(x, skip, emb)
         in_ch = x.shape[-1]
         h = GroupNorm32(name="norm_in")(x)
         h = nn.silu(h)
@@ -109,6 +205,12 @@ class ResBlock(nn.Module):
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
         h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
+        if os.environ.get("MDT_GN_BARRIER", "0") == "1":
+            # keep the GroupNorm stat-reduce OUT of the conv fusion: fused
+            # convert_reduce convs run ~141T vs ~184T for plain conv+add
+            # fusions (xprof); the extra activation read is cheaper. Opt-in
+            # experiment flag.
+            h = jax.lax.optimization_barrier(h)
 
         emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -129,6 +231,57 @@ class ResBlock(nn.Module):
         if in_ch != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
         return x + h
+
+    def _call_split(self, x: jnp.ndarray, skip: jnp.ndarray,
+                    emb: jnp.ndarray) -> jnp.ndarray:
+        """Concat-free up-path body: numerically equal to
+        __call__(concat([x, skip], -1), emb) with an identical param tree."""
+        cx = x.shape[-1]
+        in_ch = cx + skip.shape[-1]
+        gn_scale, gn_bias = _GN32Params(in_ch, name="norm_in")()
+        groups = 32
+        while in_ch % groups:
+            groups -= 1
+        hx, hs = _split_group_norm_silu([x, skip], gn_scale, gn_bias,
+                                        num_groups=groups)
+        if self.up:
+            hx, hs = nearest_upsample_2x(hx), nearest_upsample_2x(hs)
+            x, skip = nearest_upsample_2x(x), nearest_upsample_2x(skip)
+        elif self.down:
+            hx, hs = avg_pool_2x(hx), avg_pool_2x(hs)
+            x, skip = avg_pool_2x(x), avg_pool_2x(skip)
+        k_in, b_in = _Conv3x3Params(in_ch, self.out_channels,
+                                    name="conv_in")()
+        h = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype)
+             + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype))
+
+        emb_out = dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            self.dtype, name="emb_proj",
+        )(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="norm_out")(h) * (1.0 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="norm_out")(h)
+            h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                    name="conv_out")(h)
+
+        if in_ch != self.out_channels:
+            k_sk, b_sk = _Conv1x1Params(in_ch, self.out_channels,
+                                        name="skip")()
+            res = (jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype),
+                              k_sk[0, 0, :cx].astype(self.dtype))
+                   + jnp.einsum("bhwc,cd->bhwd", skip.astype(self.dtype),
+                                k_sk[0, 0, cx:].astype(self.dtype))
+                   + b_sk.astype(self.dtype))
+        else:
+            raise ValueError("split resblock expects a channel-changing skip")
+        return res + h
 
 
 class Downsample(nn.Module):
@@ -263,17 +416,21 @@ class UNetModel(nn.Module):
             raise ValueError("cfg_fold requires at least one spatial transformer")
 
         # --- up path ---
+        split_concat = os.environ.get("MDT_SPLIT_CONCAT", "1") == "1"
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 if skip.shape[0] != h.shape[0]:
                     # pre-fold skip (batch B) meeting a folded h (2B)
                     skip = jnp.concatenate([skip, skip], axis=0)
-                h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * cfg.model_channels
-                h = res_block(out_channels=ch, dtype=cfg.dtype,
-                              use_scale_shift_norm=cfg.use_scale_shift_norm,
-                              name=f"up_{level}_{i}_res")(h, emb)
+                blk = res_block(out_channels=ch, dtype=cfg.dtype,
+                                use_scale_shift_norm=cfg.use_scale_shift_norm,
+                                name=f"up_{level}_{i}_res")
+                if split_concat:
+                    h = blk(h, emb, skip)
+                else:
+                    h = blk(jnp.concatenate([h, skip], axis=-1), emb)
                 if ds in cfg.attention_resolutions:
                     h = transformer(h, ch, f"up_{level}_{i}_attn")
                 if level and i == cfg.num_res_blocks:

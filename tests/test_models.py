@@ -179,3 +179,29 @@ def test_unet_cfg_fold_rejects_unfoldable():
         model.apply(params, x, t, ctx, y=y, cfg_fold=True)
     with pytest.raises(ValueError):
         model.apply(params, x, t, None, cfg_fold=True)
+
+
+def test_unet_split_concat_matches_concat_path():
+    """MDT_SPLIT_CONCAT=1 (concat-free up path) must match the concat path
+    numerically with the identical param tree."""
+    import os
+    cfg = tiny_unet_config()
+    model = UNetModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 4))
+    t = jnp.array([1, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(5), (2, 7, 16))
+    os.environ["MDT_SPLIT_CONCAT"] = "0"
+    try:
+        params = model.init(jax.random.PRNGKey(6), x, t, ctx)
+        ref = model.apply(params, x, t, ctx)
+    finally:
+        os.environ["MDT_SPLIT_CONCAT"] = "1"
+    try:
+        p2 = model.init(jax.random.PRNGKey(6), x, t, ctx)
+        assert (jax.tree_util.tree_structure(p2)
+                == jax.tree_util.tree_structure(params))
+        out = model.apply(params, x, t, ctx)
+    finally:
+        os.environ.pop("MDT_SPLIT_CONCAT", None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
