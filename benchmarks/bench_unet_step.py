@@ -122,6 +122,8 @@ CONFIGS = {
                  "pallas_fast", 16),
     "split_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_SPLIT_CONCAT="1"),
                    "pallas_fast", 16),
+    "noproj_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_PROJ_ATTN="0"),
+                    "pallas_fast", 16),
 }
 
 

@@ -78,12 +78,47 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         inner = self.heads * self.dim_head
+        if self._use_fused_proj(x, context, inner):
+            return self._fused_proj(x, inner)
         ctx = x if context is None else context
         q = self._proj(inner, False, "to_q")(x)
         k = self._proj(inner, False, "to_k")(ctx)
         v = self._proj(inner, False, "to_v")(ctx)
         out = packed_attention(q, k, v, self.heads, impl=self.attn_impl)
         return self._proj(self.query_dim, True, "to_out")(out)
+
+    def _use_fused_proj(self, x, context, inner) -> bool:
+        """Spatial self-attention on TPU: fuse q/k/v/out projections into the
+        attention kernel (ops/flash_attention.flash_attention_packed_proj) —
+        the projection HBM round-trips (~370 MB per ds1 site) vanish. Square
+        projections only (inner == query_dim == x channels), no LoRA (the
+        low-rank delta needs the unfused path), token count divisible by the
+        q block. Measured e2e-SLOWER (86.3 vs 82.7 ms/step): the in-kernel
+        K/V projection GEMMs serialize at grid step 0 and the per-tile out
+        projections run at small-GEMM efficiency — together they cost more
+        than the ~370 MB/site of HBM round-trips they save. Kept as an
+        opt-in experiment (MDT_PROJ_ATTN=1)."""
+        import os
+
+        n = x.shape[1]
+        return (context is None and not self.enable_lora
+                and self.attn_impl != "xla"
+                and inner == self.query_dim == x.shape[-1]
+                and n >= 1024 and n % 256 == 0
+                and 2 * n * inner * 2 <= 12 * 1024 * 1024  # k/v scratch
+                and jax.default_backend() == "tpu"
+                and os.environ.get("MDT_PROJ_ATTN", "0") == "1")
+
+    def _fused_proj(self, x: jnp.ndarray, inner: int) -> jnp.ndarray:
+        from minddiffusion_tpu.ops.attention import fused_proj_attention_ad
+
+        wq = _DenseKernel(inner, name="to_q")(x.shape[-1])
+        wk = _DenseKernel(inner, name="to_k")(x.shape[-1])
+        wv = _DenseKernel(inner, name="to_v")(x.shape[-1])
+        wo, bo = _DenseParams(self.query_dim, name="to_out")(inner)
+        return fused_proj_attention_ad(
+            x, wq, wk, wv, wo, bo, self.dim_head ** -0.5,
+            self.heads, self.attn_impl != "pallas_fast")
 
 
 class GEGLU(nn.Module):
@@ -106,6 +141,17 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="geglu")(x)
         return dense(self.dim, self.dtype, name="proj_out")(h)
+
+
+class _DenseKernel(nn.Module):
+    """Declares a bias-free nn.Dense's {kernel} without computing."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features), jnp.float32)
 
 
 class _DenseParams(nn.Module):

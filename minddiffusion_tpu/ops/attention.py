@@ -79,10 +79,104 @@ def dot_product_attention(
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
-        from minddiffusion_tpu.ops import flash_attention
-
-        return flash_attention.flash_attention(q, k, v, scale=scale)
+        return _flash_ad(q, k, v,
+                         float(scale) if scale is not None else q.shape[-1] ** -0.5)
     return einsum_attention(q, k, v, scale=scale, bias=bias)
+
+
+# ---- autodiff bridges -------------------------------------------------------
+# Pallas kernels have no automatic VJP: differentiating through a pallas_call
+# fails outright (JAX cannot linearize the custom lowering). Every Pallas
+# dispatch below is therefore wrapped in a custom_vjp whose BACKWARD pass
+# recomputes the reference einsum attention and differentiates that — serving
+# keeps the fused kernels, training gets correct gradients with the memory
+# profile of the reference's own full-softmax attention (its training batch
+# sizes fit that by construction: stablediffusionv2 train_config bs 3-10).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_ad(q, k, v, scale):
+    from minddiffusion_tpu.ops import flash_attention
+
+    return flash_attention.flash_attention(q, k, v, scale=scale)
+
+
+def _flash_ad_fwd(q, k, v, scale):
+    return _flash_ad(q, k, v, scale), (q, k, v)
+
+
+def _flash_ad_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: einsum_attention(a, b, c, scale=scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
+
+
+def _einsum_packed(q, k, v, scale, heads):
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    d = c // heads
+    out = einsum_attention(q.reshape(b, nq, heads, d),
+                           k.reshape(b, nk, heads, d),
+                           v.reshape(b, nk, heads, d), scale=scale)
+    return out.reshape(b, nq, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _packed_ad(q, k, v, scale, heads, block_q, exact, variant):
+    from minddiffusion_tpu.ops import flash_attention
+
+    fn = {"packed": flash_attention.flash_attention_packed,
+          "ones": flash_attention.flash_attention_packed_ones,
+          "fold": flash_attention.flash_attention_packed_fold}[variant]
+    return fn(q, k, v, scale, heads, block_q=block_q, exact=exact)
+
+
+def _packed_ad_fwd(q, k, v, scale, heads, block_q, exact, variant):
+    return _packed_ad(q, k, v, scale, heads, block_q, exact, variant), (q, k, v)
+
+
+def _packed_ad_bwd(scale, heads, block_q, exact, variant, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _einsum_packed(a, b, c, scale, heads), q, k, v)
+    return vjp(g)
+
+
+_packed_ad.defvjp(_packed_ad_fwd, _packed_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_proj_attention_ad(x, wq, wk, wv, wo, bo, scale, heads, exact):
+    from minddiffusion_tpu.ops import flash_attention
+
+    return flash_attention.flash_attention_packed_proj(
+        x, wq, wk, wv, wo, bo, scale=scale, heads=heads, exact=exact)
+
+
+def _proj_ref(x, wq, wk, wv, wo, bo, scale, heads):
+    dt = x.dtype
+    y = _einsum_packed(x @ wq.astype(dt), x @ wk.astype(dt),
+                       x @ wv.astype(dt), scale, heads)
+    return y @ wo.astype(dt) + bo.astype(dt)
+
+
+def _proj_ad_fwd(x, wq, wk, wv, wo, bo, scale, heads, exact):
+    return (fused_proj_attention_ad(x, wq, wk, wv, wo, bo, scale, heads, exact),
+            (x, wq, wk, wv, wo, bo))
+
+
+def _proj_ad_bwd(scale, heads, exact, res, g):
+    _, vjp = jax.vjp(
+        lambda x, a, b, c, d, e: _proj_ref(x, a, b, c, d, e, scale, heads),
+        *res)
+    return vjp(g)
+
+
+fused_proj_attention_ad.defvjp(_proj_ad_fwd, _proj_ad_bwd)
 
 
 # VMEM budget for the packed (heads-unsplit) kernel: K, V and a q tile's score
@@ -132,22 +226,18 @@ def packed_attention(
                 # scratch V-augment (d=64 only).
                 if (os.environ.get("MDT_FOLD_ATTN", "0") == "1"
                         and c // heads == 64):
-                    return flash_attention.flash_attention_packed_fold(
-                        q, k, v, scale=float(scale), heads=heads, block_q=bq,
-                        exact=False)
-                return flash_attention.flash_attention_packed(
-                    q, k, v, scale=float(scale), heads=heads, block_q=bq,
-                    exact=False)
+                    return _packed_ad(q, k, v, float(scale), heads, bq,
+                                      False, "fold")
+                return _packed_ad(q, k, v, float(scale), heads, bq,
+                                  False, "packed")
             # ones-column fold (row-sum rides the PV matmul) via host-side
             # V-augment concat: e2e-slower (the concat costs real HBM);
             # superseded by the in-kernel MDT_FOLD_ATTN variant above.
             if os.environ.get("MDT_ONES_ATTN", "0") == "1":
-                return flash_attention.flash_attention_packed_ones(
-                    q, k, v, scale=float(scale), heads=heads, block_q=bq,
-                    exact=True)
-            return flash_attention.flash_attention_packed(
-                q, k, v, scale=float(scale), heads=heads, block_q=bq,
-                exact=True)
+                return _packed_ad(q, k, v, float(scale), heads, bq,
+                                  True, "ones")
+            return _packed_ad(q, k, v, float(scale), heads, bq,
+                              True, "packed")
     if impl == "pallas_fast":
         impl = None
     out = dot_product_attention(

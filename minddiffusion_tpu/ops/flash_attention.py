@@ -521,6 +521,121 @@ def flash_attention_packed_fold(
     return out[:, :nq]
 
 
+def _packed_proj_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                        bo_ref, o_ref, ks_ref, vs_ref, *, exact: bool,
+                        heads: int, head_dim: int):
+    """Fully-fused self-attention block: q/k/v projections + packed
+    multi-head attention + output projection in ONE kernel.
+
+    The q/k/v/out projection round-trips (3 GEMM writes + reads of (B,N,C)
+    each, plus the attention output write + out-proj read) are ~370 MB of
+    HBM traffic per ds1 site that this kernel never performs: K'=x@Wk and
+    V'=x@Wv are built once per batch into VMEM scratch (grid iterates q
+    tiles innermost), q projects per-tile, and the out projection runs on
+    the VMEM attention output before the single HBM write. The softmax
+    scale is pre-folded into Wq by the wrapper.
+
+    xq_ref: (1, bq, C) q-tile slice of x;  xkv_ref: (1, N, C) full-N slice
+    (same array, second BlockSpec);  w*_ref: (C, C);  bo_ref: (1, C)
+    ks/vs scratch: (N, C) in x.dtype.
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _build_kv():
+        xkv = xkv_ref[0]
+        ks_ref[:] = jax.lax.dot_general(
+            xkv, wk_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(ks_ref.dtype)
+        vs_ref[:] = jax.lax.dot_general(
+            xkv, wv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(vs_ref.dtype)
+
+    q = jax.lax.dot_general(
+        xq_ref[0], wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(xq_ref.dtype)  # (bq, C)
+
+    outs = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], ks_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if exact:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+        else:
+            p = jnp.exp(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(vs_ref.dtype), vs_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((acc / l).astype(xq_ref.dtype))
+    o = jnp.concatenate(outs, axis=-1)                            # (bq, C)
+    y = jax.lax.dot_general(
+        o, wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "heads", "block_q", "exact", "interpret"),
+)
+def flash_attention_packed_proj(
+    x: jnp.ndarray,   # (B, N, C) pre-LN'd tokens (self-attention input)
+    wq: jnp.ndarray,  # (C, C)
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,  # (C,)
+    scale: float,
+    heads: int,
+    block_q: int = 256,
+    exact: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """to_out(attention(x@Wq, x@Wk, x@Wv)) as one fused kernel (see
+    _packed_proj_kernel). Requires N % block_q == 0 (spatial tokens)."""
+    b, n, c = x.shape
+    qb = min(block_q, n)
+    assert n % qb == 0, (n, qb)
+    dtype = x.dtype
+    wqs = (wq.astype(jnp.float32) * scale).astype(dtype)
+    wk = wk.astype(dtype)
+    wv = wv.astype(dtype)
+    wo = wo.astype(dtype)
+    grid = (b, n // qb)
+    kernel = functools.partial(_packed_proj_kernel, exact=exact, heads=heads,
+                               head_dim=c // heads)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, qb, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, n, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, qb, c), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), dtype),
+            pltpu.VMEM((n, c), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * (c // heads) * heads + 8 * b * n * c * c,
+            bytes_accessed=2 * b * n * c * 3,
+            transcendentals=b * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, wqs, wk, wv, wo, bo.reshape(1, c).astype(jnp.float32))
+
+
 def _pad_tokens(x: jnp.ndarray, block: int) -> jnp.ndarray:
     n = x.shape[1]
     pad = (-n) % block

@@ -105,3 +105,47 @@ def test_packed_fold_kernel_parity(heads, exact):
         q.reshape(b, n, c), k.reshape(b, n, c), v.reshape(b, n, c),
         scale=d ** -0.5, heads=heads, block_q=128, exact=exact, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("heads,exact", [(1, True), (4, False)])
+def test_packed_proj_kernel_parity(heads, exact):
+    """Fused q/k/v/out-projection attention block vs the unfused reference
+    composition (interpret mode)."""
+    from minddiffusion_tpu.ops.attention import _proj_ref
+    from minddiffusion_tpu.ops.flash_attention import flash_attention_packed_proj
+
+    b, n, d = 2, 256, 64
+    c = heads * d
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(b, n, c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32)
+                      for _ in range(4))
+    bo = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    scale = d ** -0.5
+    ref = _proj_ref(x, wq, wk, wv, wo, bo, scale, heads)
+    out = flash_attention_packed_proj(x, wq, wk, wv, wo, bo, scale=scale,
+                                      heads=heads, block_q=128, exact=exact,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_attention_ad_bridges_have_reference_grads():
+    """The custom_vjp backward passes are the gradients of the einsum
+    reference composition — check they produce finite, correctly-shaped
+    cotangents (the pallas forward itself is TPU-only)."""
+    from minddiffusion_tpu.ops.attention import _einsum_packed, _proj_ref
+
+    b, n, heads, d = 1, 128, 2, 64
+    c = heads * d
+    rng = np.random.RandomState(7)
+    q, k, v = (jnp.asarray(rng.randn(b, n, c), jnp.float32) for _ in range(3))
+    grads = jax.grad(lambda *a: _einsum_packed(*a, d ** -0.5, heads).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    for g, ref in zip(grads, (q, k, v)):
+        assert g.shape == ref.shape and np.isfinite(np.asarray(g)).all()
+    x = jnp.asarray(rng.randn(b, n, c), jnp.float32)
+    ws = [jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32) for _ in range(4)]
+    bo = jnp.zeros((c,), jnp.float32)
+    g = jax.grad(lambda x_: _proj_ref(x_, *ws, bo, d ** -0.5, heads).sum())(x)
+    assert g.shape == x.shape and np.isfinite(np.asarray(g)).all()
