@@ -227,11 +227,14 @@ def conv3x3_winograd_ad(x, kernel, bias):
 
 
 def _direct_ref(x, kernel, bias):
+    # NO preferred fp32 output here: the conv transpose rule requires the
+    # cotangent dtype to match the operands, so a mixed bf16-operand/fp32-out
+    # conv cannot be differentiated (TypeError in lax transpose). Plain
+    # same-dtype conv transposes fine; the MXU accumulates fp32 either way.
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return (y + bias.astype(jnp.float32)).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(y.dtype)
 
 
 def _wino_fwd(x, kernel, bias):
