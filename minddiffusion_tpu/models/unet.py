@@ -30,8 +30,10 @@ from flax import struct
 
 from minddiffusion_tpu.models.attention import SpatialTransformer
 from minddiffusion_tpu.models.layers import (
+    Conv3x3Params,
     GroupNorm32,
     conv3x3_dispatch,
+    fused_upsample_conv3x3,
     avg_pool_2x,
     conv1x1,
     conv3x3,
@@ -111,21 +113,6 @@ class _GN32Params(nn.Module):
     @nn.compact
     def __call__(self):
         return _GNInner(self.dim, name="GroupNorm_0")()
-
-
-class _Conv3x3Params(nn.Module):
-    """Declares WinoConv3x3's {kernel, bias} without computing."""
-
-    in_ch: int
-    out_ch: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (3, 3, self.in_ch, self.out_ch), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.out_ch,),
-                       jnp.float32)
-        return k, b
 
 
 class _Conv1x1Params(nn.Module):
@@ -250,8 +237,8 @@ class ResBlock(nn.Module):
         elif self.down:
             hx, hs = avg_pool_2x(hx), avg_pool_2x(hs)
             x, skip = avg_pool_2x(x), avg_pool_2x(skip)
-        k_in, b_in = _Conv3x3Params(in_ch, self.out_channels,
-                                    name="conv_in")()
+        k_in, b_in = Conv3x3Params(in_ch, self.out_channels,
+                                   name="conv_in")()
         h = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype)
              + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype))
 
@@ -303,6 +290,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_conv and os.environ.get("MDT_FUSED_UP", "1") == "1":
+            # subpixel-decomposed upsample+conv: 4 MACs/output instead of 9,
+            # no 4x intermediate (layers.fused_upsample_conv3x3)
+            k, b = Conv3x3Params(x.shape[-1], self.out_channels,
+                                 name="conv")()
+            return fused_upsample_conv3x3(x, k, b, self.dtype)
         x = nearest_upsample_2x(x)
         if self.use_conv:
             x = conv3x3(self.out_channels, self.dtype, name="conv")(x)

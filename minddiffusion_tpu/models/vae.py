@@ -22,7 +22,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-from minddiffusion_tpu.models.layers import GroupNorm32, conv1x1, conv3x3, nearest_upsample_2x
+import os
+
+from minddiffusion_tpu.models.layers import (
+    Conv3x3Params,
+    GroupNorm32,
+    conv1x1,
+    conv3x3,
+    fused_upsample_conv3x3,
+    nearest_upsample_2x,
+)
 from minddiffusion_tpu.ops.attention import packed_attention
 
 Dtype = Any
@@ -120,8 +129,13 @@ class Decoder(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 h = ResnetBlock(ch, cfg.dtype, name=f"up_{level}_block_{i}")(h)
             if level != 0:
-                h = nearest_upsample_2x(h)
-                h = conv3x3(ch, cfg.dtype, name=f"up_{level}_upsample")(h)
+                if os.environ.get("MDT_FUSED_UP", "1") == "1":
+                    k, b = Conv3x3Params(h.shape[-1], ch,
+                                         name=f"up_{level}_upsample")()
+                    h = fused_upsample_conv3x3(h, k, b, cfg.dtype)
+                else:
+                    h = nearest_upsample_2x(h)
+                    h = conv3x3(ch, cfg.dtype, name=f"up_{level}_upsample")(h)
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = nn.silu(h)
         return conv3x3(cfg.out_channels, cfg.dtype, name="conv_out")(h).astype(jnp.float32)
