@@ -82,8 +82,20 @@ class CrossAttention(nn.Module):
             return self._fused_proj(x, inner)
         ctx = x if context is None else context
         q = self._proj(inner, False, "to_q")(x)
-        k = self._proj(inner, False, "to_k")(ctx)
-        v = self._proj(inner, False, "to_v")(ctx)
+        hoistable = context is not None and not self.is_initializing()
+        if hoistable and self.has_variable("xattn_kv", "k"):
+            # Hoisted cross-attention K/V: the text context is constant across
+            # every sampler step, so the pipelines capture these projections
+            # once OUTSIDE the lax.scan (pipelines _make_eps_fn capture pass)
+            # instead of recomputing them 50x inside it.
+            k = self.get_variable("xattn_kv", "k")
+            v = self.get_variable("xattn_kv", "v")
+        else:
+            k = self._proj(inner, False, "to_k")(ctx)
+            v = self._proj(inner, False, "to_v")(ctx)
+            if hoistable and self.is_mutable_collection("xattn_kv"):
+                self.put_variable("xattn_kv", "k", k)
+                self.put_variable("xattn_kv", "v", v)
         out = packed_attention(q, k, v, self.heads, impl=self.attn_impl)
         return self._proj(self.query_dim, True, "to_out")(out)
 

@@ -155,26 +155,66 @@ def fused_upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     return y
 
 
+def wino_route(h: int, w: int, c_in: int, c_out: int) -> bool:
+    """True when a 3x3 conv at this shape dispatches to the Winograd Pallas
+    kernel (backend + measured shape rule + env opt-out)."""
+    from minddiffusion_tpu.ops import winograd
+
+    return (jax.default_backend() == "tpu"
+            and winograd.wino_wins(h, w, c_in, c_out)
+            and os.environ.get("MDT_WINO", "1") != "0")
+
+
 def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
-                     dtype: Dtype) -> jnp.ndarray:
+                     dtype: Dtype, u: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Functional 3x3 same-pad conv with the winograd/XLA shape dispatch used
-    by WinoConv3x3 (shared by the split-concat resblock path)."""
+    by WinoConv3x3 (shared by the split-concat resblock path). `u` is the
+    hoisted weight transform (inference only — that path skips the AD
+    wrapper, gradients always route through the transform-inside variant)."""
     from minddiffusion_tpu.ops import winograd
 
     _, h, w, c = x.shape
     features = kernel.shape[-1]
-    use_wino = (jax.default_backend() == "tpu"
-                and winograd.wino_wins(h, w, c, features)
-                and os.environ.get("MDT_WINO", "1") != "0")
+    use_wino = wino_route(h, w, c, features)
     x = x.astype(dtype)
     if bias is None:
         bias = jnp.zeros((features,), jnp.float32)
     if use_wino:
+        if u is not None:
+            return winograd.conv3x3_winograd(x, kernel.astype(dtype), bias, u=u)
         return winograd.conv3x3_winograd_ad(x, kernel.astype(dtype), bias)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + bias.astype(dtype)
+
+
+def hoisted_wino_u(module: nn.Module, name: str, kernel: jnp.ndarray,
+                   x: jnp.ndarray, features: int,
+                   dtype: Dtype) -> Optional[jnp.ndarray]:
+    """Loop-invariant Winograd weight-transform hoisting via the `wino_u`
+    collection. Inside a sampler's `lax.scan`, XLA does NOT hoist U = G k G^T
+    out of the loop body (~165 ms/batch of per-step transform + layout-copy
+    work in the 50-step SD2 program, xprof-measured), so inference pipelines
+    run one capture pass with mutable=["wino_u"] — this records U for every
+    conv that routes to the Pallas kernel — then feed the captured collection
+    back so the scan body reads U as a constant. `kernel` may be a slice of a
+    declared param (split-concat resblocks): the capture stores the sliced
+    transform, which is exactly why the capture pass (not a param-tree walk)
+    is the mechanism. Returns None outside the hoisting regime (training,
+    init, CPU)."""
+    if module.is_initializing():
+        return None
+    if module.has_variable("wino_u", name):
+        return module.get_variable("wino_u", name)
+    if (module.is_mutable_collection("wino_u")
+            and wino_route(x.shape[1], x.shape[2], kernel.shape[2], features)):
+        from minddiffusion_tpu.ops.winograd import transform_weights
+
+        u = transform_weights(kernel).astype(dtype)
+        module.put_variable("wino_u", name, u)
+        return u
+    return None
 
 
 class WinoConv3x3(nn.Module):
@@ -197,10 +237,11 @@ class WinoConv3x3(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        u = hoisted_wino_u(self, "u", kernel, x, self.features, self.dtype)
         # output in compute dtype like nn.Conv (a preferred fp32 output
         # doubles the write traffic for no accuracy gain — the MXU
         # accumulator is fp32 either way)
-        return conv3x3_dispatch(x, kernel, bias, self.dtype)
+        return conv3x3_dispatch(x, kernel, bias, self.dtype, u=u)
 
 
 def conv3x3(features: int, dtype: Dtype, zero_init: bool = False, stride: int = 1,

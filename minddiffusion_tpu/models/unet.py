@@ -33,6 +33,7 @@ from minddiffusion_tpu.models.layers import (
     Conv3x3Params,
     GroupNorm32,
     conv3x3_dispatch,
+    hoisted_wino_u,
     fused_upsample_conv3x3,
     avg_pool_2x,
     conv1x1,
@@ -239,8 +240,15 @@ class ResBlock(nn.Module):
             x, skip = avg_pool_2x(x), avg_pool_2x(skip)
         k_in, b_in = Conv3x3Params(in_ch, self.out_channels,
                                    name="conv_in")()
-        h = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype)
-             + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype))
+        # per-half hoisted winograd transforms: the capture pass stores U of
+        # each kernel SLICE, so nothing is sliced inside the sampler scan
+        # (a per-step (16,1280,1280) slice-copy otherwise, xprof-measured)
+        u0 = hoisted_wino_u(self, "conv_in_u0", k_in[:, :, :cx], hx,
+                            self.out_channels, self.dtype)
+        u1 = hoisted_wino_u(self, "conv_in_u1", k_in[:, :, cx:], hs,
+                            self.out_channels, self.dtype)
+        h = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype, u=u0)
+             + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype, u=u1))
 
         emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,

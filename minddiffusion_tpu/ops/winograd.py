@@ -130,11 +130,17 @@ def conv3x3_winograd(
     x: jnp.ndarray,        # (B, H, W, C_in)
     kernel: jnp.ndarray,   # (3, 3, C_in, C_out) HWIO
     bias: Optional[jnp.ndarray] = None,
+    u: Optional[jnp.ndarray] = None,   # hoisted (16, C_in, C_out) transform
     block_rows: int = 32,
     fp32_transform: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """3x3 stride-1 same-pad conv via Winograd F(2x2,3x3). H and W even."""
+    """3x3 stride-1 same-pad conv via Winograd F(2x2,3x3). H and W even.
+
+    Pass `u` (= transform_weights(kernel), any dtype) to skip the in-graph
+    weight transform — used by the inference pipelines to hoist the
+    loop-invariant transform out of the sampler scan (build_inference_cache).
+    """
     b, h, w, c_in = x.shape
     c_out = kernel.shape[-1]
     dtype = x.dtype
@@ -161,7 +167,9 @@ def conv3x3_winograd(
     wcols = (w + 4) // 2
     x_t = tiles.reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
 
-    u = transform_weights(kernel).astype(dtype)     # (16, C_in, Co)
+    if u is None:
+        u = transform_weights(kernel)               # (16, C_in, Co)
+    u = u.astype(dtype)
     if cp != c_in:
         u = jnp.pad(u, ((0, 0), (0, cp - c_in), (0, 0)))
 

@@ -124,11 +124,22 @@ class SDModels:
 
 def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
                  concat2b: Optional[jnp.ndarray] = None,
-                 class_labels2b: Optional[jnp.ndarray] = None):
+                 class_labels2b: Optional[jnp.ndarray] = None,
+                 sample_shape: Optional[Tuple[int, int, int]] = None):
     """CFG-wrapped eps model covering every DiffusionWrapper conditioning key
     of the reference (ddpm.py:360-379): crossattn (context2b), concat /
     hybrid (concat2b channel concat, inpaint), adm (class_labels2b added to
-    the t-embedding via the UNet label_emb)."""
+    the t-embedding via the UNet label_emb).
+
+    `sample_shape` = (B, h8, w8) of the latents the sampler will feed; when
+    given (inference pipelines), loop-invariant work is captured once here,
+    OUTSIDE the sampler's scan, and fed back in as scan constants — XLA does
+    not hoist it out of the loop body on its own. Captured collections:
+      * `xattn_kv`: cross-attention K/V projections of the constant text
+        context (models/attention.CrossAttention);
+      * `wino_u`: Winograd weight transforms U = G k G^T, per kernel SLICE
+        at split-concat resblocks (models/layers.hoisted_wino_u) —
+        ~165 ms/batch of per-step transform + layout-copy work otherwise."""
 
     # CFG-prefix dedup: run the UNet prefix (everything before the first
     # cross-attention) once at batch B instead of twice — numerically
@@ -137,10 +148,32 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
     dedup = (concat2b is None and class_labels2b is None
              and os.environ.get("MDT_CFG_DEDUP", "1") != "0")
 
+    unet_vars = params["unet"]
+    hoist = (sample_shape is not None
+             and jax.default_backend() == "tpu"
+             and os.environ.get("MDT_HOIST", "1") != "0")
+    if hoist:
+        b, h8, w8 = sample_shape
+        xb = b if dedup else 2 * b
+        base_ch = models.unet.config.in_channels - (
+            0 if concat2b is None else concat2b.shape[-1])
+        x_d = jnp.zeros((xb, h8, w8, base_ch), jnp.float32)
+        if concat2b is not None:
+            x_d = jnp.concatenate([x_d, concat2b.astype(x_d.dtype)], axis=-1)
+        t_d = jnp.zeros((xb,), jnp.int32)
+        # capture pass: only the captured values' data paths stay live; the
+        # rest of this forward is dead code XLA eliminates
+        _, cap = models.unet.apply(unet_vars, x_d, t_d, context2b,
+                                   y=class_labels2b, cfg_fold=dedup,
+                                   mutable=["xattn_kv", "wino_u"])
+        hoisted = {col: vals for col, vals in cap.items()
+                   if jax.tree.leaves(vals)}
+        unet_vars = {**unet_vars, **hoisted}
+
     def apply_fn(x2, t2, ctx2):
         if concat2b is not None:
             x2 = jnp.concatenate([x2, concat2b.astype(x2.dtype)], axis=-1)
-        return models.unet.apply(params["unet"], x2, t2, ctx2,
+        return models.unet.apply(unet_vars, x2, t2, ctx2,
                                  y=class_labels2b, cfg_fold=dedup)
 
     return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale, dedup=dedup)
@@ -199,7 +232,8 @@ class StableDiffusionPipeline:
         def fn(params, tokens, uncond_tokens, key):
             tok2 = jnp.concatenate([uncond_tokens, tokens], axis=0)
             ctx2 = m.text_encoder.apply(params["text"], tok2)
-            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale)
+            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale,
+                                  sample_shape=(batch_size, h8, w8))
             key, knoise = jax.random.split(key)
             x_T = jax.random.normal(knoise, (batch_size, h8, w8, 4), jnp.float32)
             z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)
@@ -250,7 +284,9 @@ class StableDiffusionPipeline:
             b = init_image.shape[0]
             tok2 = jnp.concatenate([uncond_tokens, tokens], axis=0)
             ctx2 = m.text_encoder.apply(params["text"], tok2)
-            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale)
+            h8l, w8l = height // m.latent_factor, width // m.latent_factor
+            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale,
+                                  sample_shape=(b, h8l, w8l))
 
             key, kenc, knoise = jax.random.split(key, 3)
             moments = m.vae.apply(params["vae"], init_image, method=m.vae.encode)
@@ -304,7 +340,8 @@ class StableDiffusionPipeline:
             c_cat = jnp.concatenate([mask_lat, z_masked], axis=-1)  # (B,h8,w8,5)
             c_cat2 = jnp.concatenate([c_cat, c_cat], axis=0)
 
-            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale, concat2b=c_cat2)
+            eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale, concat2b=c_cat2,
+                                  sample_shape=(b, h8, w8))
             x_T = jax.random.normal(knoise, (b, h8, w8, 4), jnp.float32)
             z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)
             img = m.vae.apply(params["vae"], latents.unscale_latents(z, m.scale_factor),

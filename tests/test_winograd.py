@@ -75,6 +75,66 @@ def test_wino_shape_rule():
     assert not wino_wins(16, 16, 2560, 1280)     # skip-concat conv: VMEM cap
 
 
+def test_winograd_hoisted_u_matches_inline_transform():
+    """conv3x3_winograd(u=...) (scan-hoisted weight transform) must equal the
+    transform-inside path bit-for-bit."""
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(ks[0], (2, 8, 8, 4), jnp.float32)
+    k = jax.random.normal(ks[1], (3, 3, 4, 8)) * 0.2
+    b = jax.random.normal(ks[2], (8,))
+    inline = conv3x3_winograd(x, k, b, block_rows=4, interpret=True)
+    hoisted = conv3x3_winograd(x, k, b, u=transform_weights(k), block_rows=4,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(inline), np.asarray(hoisted))
+
+
+def test_u_slices_commute_with_transform():
+    # U-slices commute with the weight transform (split-concat resblocks
+    # capture per-slice U; layers.hoisted_wino_u relies on this identity)
+    k = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 6, 4))
+    np.testing.assert_allclose(
+        np.asarray(transform_weights(k[:, :, :2])),
+        np.asarray(transform_weights(k)[:, :2]), atol=1e-7)
+
+
+def test_unet_wino_u_capture_roundtrip(monkeypatch):
+    """The wino_u capture pass must record U for winograd-routed convs and
+    reproduce the direct forward exactly when fed back. The shape rule is
+    monkeypatched wide-open so the tiny CPU config exercises the mechanism
+    (interpret-mode pallas on CPU)."""
+    from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
+    from minddiffusion_tpu.models import layers
+    from minddiffusion_tpu.ops import winograd
+
+    monkeypatch.setattr(
+        layers, "wino_route",
+        lambda h, w, ci, co: h % 2 == 0 and w % 2 == 0)
+    real = winograd.conv3x3_winograd
+
+    def interp(x, kernel, bias=None, u=None, **kw):
+        kw["interpret"] = True
+        return real(x, kernel, bias, u, **kw)
+
+    monkeypatch.setattr(winograd, "conv3x3_winograd", interp)
+    monkeypatch.setattr(winograd, "conv3x3_winograd_ad", interp)
+
+    cfg = UNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(2, 1), channel_mult=(1, 2), num_heads=4,
+        transformer_depth=1, context_dim=16)
+    model = UNetModel(cfg)
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(ks[0], (1, 16, 16, cfg.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jax.random.normal(ks[1], (1, 5, cfg.context_dim))
+    v = model.init(ks[2], x, t, ctx)
+    base = model.apply(v, x, t, ctx)
+    _, cap = model.apply(v, x, t, ctx, mutable=["wino_u"])
+    assert jax.tree.leaves(cap["wino_u"]), "no U captured"
+    hoisted = model.apply({**v, "wino_u": cap["wino_u"]}, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(hoisted))
+
+
 def test_winograd_bf16():
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     x = jax.random.normal(ks[0], (1, 8, 8, 16)).astype(jnp.bfloat16)
@@ -85,3 +145,29 @@ def test_winograd_bf16():
                            interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                rtol=0.1, atol=0.1)
+
+
+def test_xattn_kv_capture_roundtrip():
+    """Cross-attention K/V captured via the `xattn_kv` collection (loop-
+    invariant context hoisting) must reproduce the direct forward exactly."""
+    from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(2, 1), channel_mult=(1, 2), num_heads=4,
+        transformer_depth=1, context_dim=16)
+    model = UNetModel(cfg)
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    x = jax.random.normal(ks[0], (2, 16, 16, 4))
+    t = jnp.array([3, 500])
+    ctx = jax.random.normal(ks[1], (2, 5, 16))
+    v = model.init(ks[2], x, t, ctx)
+    base = model.apply(v, x, t, ctx)
+    out_cap, cap = model.apply(v, x, t, ctx, mutable=["xattn_kv"])
+    assert jax.tree.leaves(cap["xattn_kv"]), "capture pass collected nothing"
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out_cap))
+    # different x, same context: hoisted K/V must give identical results
+    x2 = jax.random.normal(ks[3], (2, 16, 16, 4))
+    direct = model.apply(v, x2, t, ctx)
+    hoisted = model.apply({**v, "xattn_kv": cap["xattn_kv"]}, x2, t, ctx)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(hoisted))
