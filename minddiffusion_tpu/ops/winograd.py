@@ -66,11 +66,53 @@ def _wino_kernel(x_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
     b_ref:  (1, c_out)
     o_ref:  (1, bh, W//2, 2*c_out)  column-pair lane-merged (host un-merges)
     """
+    _wino_compute(x_ref[0, 0], u_ref, b_ref, o_ref, bh=bh, width=width,
+                  cp=cp, c_out=c_out, fp32_transform=fp32_transform)
+
+
+def _wino_kernel_dma(x_any, u_ref, b_ref, o_ref, xs_ref, sems, *, bh: int,
+                     width: int, cp: int, c_out: int, n_tiles: int,
+                     total: int, fp32_transform: bool):
+    """DMA variant: x stays whole in ANY memory space as the merged
+    (B, Hp+2, (W+4)/2, 2cp) array; each program async-copies its OWN
+    (bh+2)-row halo window (overlapping windows — inexpressible as a
+    BlockSpec, which is why the old path materialized a gathered tile array
+    plus a transpose + two layout copies on the host side, ~45 ms/batch in
+    the SD2 profile). Double-buffered: each program kicks off the next
+    window's copy before computing its own."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    idx = bi * n_tiles + ti
+
+    def dma(i_lin, slot):
+        tbi = jax.lax.div(i_lin, n_tiles)
+        tti = jax.lax.rem(i_lin, n_tiles)
+        return pltpu.make_async_copy(
+            x_any.at[tbi, pl.ds(tti * bh, bh + 2)],
+            xs_ref.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        dma(idx, slot).start()
+
+    @pl.when(idx + 1 < total)
+    def _():
+        dma(idx + 1, 1 - slot).start()
+
+    dma(idx, slot).wait()
+    _wino_compute(xs_ref[slot], u_ref, b_ref, o_ref, bh=bh, width=width,
+                  cp=cp, c_out=c_out, fp32_transform=fp32_transform)
+
+
+def _wino_compute(q, u_ref, b_ref, o_ref, *, bh: int, width: int,
+                  cp: int, c_out: int, fp32_transform: bool):
+    """Shared transform-matmul-inverse body. q: (bh+2, (W+4)/2, 2cp)."""
     t = bh // 2
     tx = width // 2
 
-    tdt = jnp.float32 if fp32_transform else x_ref.dtype
-    q = x_ref[0, 0]             # (bh+2, (W+4)/2, 2cp)
+    tdt = jnp.float32 if fp32_transform else q.dtype
     # column combos (B^T applied to the W axis); d0..d3 are the 4 winograd
     # columns of each tile: evens, odds, evens+1, odds+1 — the +1 variants
     # are the next lane-merged column group of the SAME tile
@@ -125,7 +167,8 @@ def _wino_kernel(x_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_rows", "fp32_transform", "interpret"))
+    jax.jit, static_argnames=("block_rows", "fp32_transform", "interpret",
+                              "dma"))
 def conv3x3_winograd(
     x: jnp.ndarray,        # (B, H, W, C_in)
     kernel: jnp.ndarray,   # (3, 3, C_in, C_out) HWIO
@@ -134,19 +177,28 @@ def conv3x3_winograd(
     block_rows: int = 32,
     fp32_transform: bool = True,
     interpret: bool = False,
+    dma: Optional[bool] = None,
 ) -> jnp.ndarray:
     """3x3 stride-1 same-pad conv via Winograd F(2x2,3x3). H and W even.
 
     Pass `u` (= transform_weights(kernel), any dtype) to skip the in-graph
     weight transform — used by the inference pipelines to hoist the
-    loop-invariant transform out of the sampler scan (build_inference_cache).
+    loop-invariant transform out of the sampler scan (capture pass).
+
+    `dma` (default on; MDT_WINO_DMA=0 opts out): the kernel fetches its own
+    overlapping halo windows via async copies instead of the host
+    materializing a gathered tile array (see _wino_kernel_dma).
     """
+    import os
+
     b, h, w, c_in = x.shape
     c_out = kernel.shape[-1]
     dtype = x.dtype
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     if bias is None:
         bias = jnp.zeros((c_out,), jnp.float32)
+    if dma is None:
+        dma = os.environ.get("MDT_WINO_DMA", "1") != "0"
 
     cp = _round_up(c_in, 128)
     bh = min(block_rows, h)
@@ -155,17 +207,18 @@ def conv3x3_winograd(
     pad_h = (-h) % bh
     hp = h + pad_h
     n_tiles = hp // bh
-
-    # halo tiles, with C padded so the even/odd lane-merge keeps 128-aligned
-    # halves. W padded to w+4 (even) so the whole tile lane-merges with a
-    # FREE contiguous reshape — no sliced/shifted copies (the kernel takes
-    # its +1-group shifted views from the untiled middle dim).
-    xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, 3), (0, cp - c_in)))
-    row_idx = (jnp.arange(n_tiles)[:, None] * bh
-               + jnp.arange(bh + 2)[None, :])       # (n_tiles, bh+2)
-    tiles = xp[:, row_idx]                          # (B, n, bh+2, W+4, cp)
     wcols = (w + 4) // 2
-    x_t = tiles.reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
+    if dma:
+        # the async halo-window copy requires the (second-minor) column-pair
+        # dim 8-aligned ("slice shape must be aligned to tiling")
+        wcols = _round_up(wcols, 8)
+
+    # C padded so the even/odd lane-merge keeps 128-aligned halves. W padded
+    # so the whole tile lane-merges with a contiguous reshape — no
+    # sliced/shifted copies (the kernel takes its +1-group shifted views
+    # from the untiled middle dim).
+    xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, 2 * wcols - w - 1),
+                     (0, cp - c_in)))
 
     if u is None:
         u = transform_weights(kernel)               # (16, C_in, Co)
@@ -173,13 +226,60 @@ def conv3x3_winograd(
     if cp != c_in:
         u = jnp.pad(u, ((0, 0), (0, cp - c_in), (0, 0)))
 
-    out = _wino_pallas(x_t, u, bias, b=b, hp=hp, w=w, bh=bh,
-                       n_tiles=n_tiles, wcols=wcols, cp=cp, c_out=c_out,
-                       dtype=dtype, fp32_transform=fp32_transform,
-                       interpret=interpret)
+    if dma:
+        x_m = xp.reshape(b, hp + 2, wcols, 2 * cp)  # lane-merge (one pass)
+        out = _wino_pallas_dma(x_m, u, bias, b=b, hp=hp, w=w, bh=bh,
+                               n_tiles=n_tiles, wcols=wcols, cp=cp,
+                               c_out=c_out, dtype=dtype,
+                               fp32_transform=fp32_transform,
+                               interpret=interpret)
+    else:
+        row_idx = (jnp.arange(n_tiles)[:, None] * bh
+                   + jnp.arange(bh + 2)[None, :])   # (n_tiles, bh+2)
+        tiles = xp[:, row_idx]                      # (B, n, bh+2, W+4, cp)
+        x_t = tiles.reshape(b, n_tiles, bh + 2, wcols, 2 * cp)
+        out = _wino_pallas(x_t, u, bias, b=b, hp=hp, w=w, bh=bh,
+                           n_tiles=n_tiles, wcols=wcols, cp=cp, c_out=c_out,
+                           dtype=dtype, fp32_transform=fp32_transform,
+                           interpret=interpret)
     # un-merge the lane-paired columns: same HBM layout, metadata-only reshape
     out = out.reshape(b, hp, w, c_out)
     return out[:, :h]
+
+
+def _wino_pallas_dma(x_m, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
+                     c_out, dtype, fp32_transform, interpret):
+    return pl.pallas_call(
+        functools.partial(_wino_kernel_dma, bh=bh, width=w, cp=cp,
+                          c_out=c_out, n_tiles=n_tiles, total=b * n_tiles,
+                          fp32_transform=fp32_transform),
+        grid=(b, n_tiles),
+        in_specs=[
+            # pin to HBM: under ANY the compiler may place the whole array in
+            # VMEM, where the dynamic halo-window slice fails to lower
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w // 2, 2 * c_out),
+                               lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w // 2, 2 * c_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, wcols, 2 * cp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * w * 4 * cp * c_out,
+            bytes_accessed=b * hp * w * (4 * cp + c_out) * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # manual cross-step double buffering requires sequential order
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_m, u, bias.reshape(1, c_out).astype(jnp.float32))
 
 
 def _wino_pallas(x_t, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
@@ -220,10 +320,13 @@ def wino_wins(h: int, w: int, c_in: int, c_out: int) -> bool:
     (0.98 vs 0.93), 8² and VAE-decoder shapes all lose — excluded. The VMEM
     cap rejects the up-path skip-concat convs (C_in up to 2560, whose
     16x(cp, Co) resident transformed weights alone exceed scoped VMEM)."""
+    import os
+
     cp = _round_up(c_in, 128)
     weight_vmem = 16 * cp * c_out * 2          # bf16 U, grid-resident
+    c_min = int(os.environ.get("MDT_WINO_CMIN", "512"))  # A/B knob
     return (h % 2 == 0 and w % 2 == 0
-            and 12 <= min(h, w) <= 48 and c_in >= 512
+            and 12 <= min(h, w) <= 48 and c_in >= c_min
             and weight_vmem <= 56 * 1024 * 1024)
 
 

@@ -135,6 +135,20 @@ def test_unet_wino_u_capture_roundtrip(monkeypatch):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(hoisted))
 
 
+@pytest.mark.parametrize("dma", [False, True])
+def test_winograd_dma_variant_matches(dma):
+    """The in-kernel-DMA halo path (overlapping windows fetched by the kernel
+    itself) must match the host-gathered-tiles path and the direct conv."""
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    x = jax.random.normal(ks[0], (2, 12, 8, 8), jnp.float32)
+    k = jax.random.normal(ks[1], (3, 3, 8, 4)) * 0.2
+    b = jax.random.normal(ks[2], (4,))
+    ref = direct_conv(x, k, b)
+    got = conv3x3_winograd(x, k, b, block_rows=8, interpret=True, dma=dma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_winograd_bf16():
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     x = jax.random.normal(ks[0], (1, 8, 8, 16)).astype(jnp.bfloat16)
