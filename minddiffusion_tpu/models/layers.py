@@ -84,10 +84,30 @@ class LayerNormFp32(nn.Module):
                             param_dtype=jnp.float32)(x)
 
 
+class Dense2D(nn.Dense):
+    """nn.Dense that flattens leading dims to ONE batch dim around the matmul.
+
+    Why: XLA:TPU emits a 3D batched dot (B, N, C) @ (C, D) as a width-B-window
+    CONVOLUTION over the batch dim (`dim_labels=fb0_0oi->0fb`), which forces
+    spatial-major operand/result layouts and surrounds every transformer
+    projection with {2,0,1}<->{2,1,0} relayout copies (~38 ms/batch in the
+    SD2 xprof). A flat (B*N, C) @ (C, D) GEMM emits the plain high-efficiency
+    path. Param tree identical to nn.Dense."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim <= 2:
+            return super().__call__(x)
+        s = x.shape
+        y = super().__call__(x.reshape(-1, s[-1]))
+        return y.reshape(*s[:-1], y.shape[-1])
+
+
 def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = False,
           name: Optional[str] = None) -> nn.Dense:
     kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
-    return nn.Dense(
+    cls = Dense2D if os.environ.get("MDT_DENSE2D", "0") == "1" else nn.Dense
+    return cls(
         features,
         use_bias=use_bias,
         dtype=dtype,
@@ -166,11 +186,18 @@ def wino_route(h: int, w: int, c_in: int, c_out: int) -> bool:
 
 
 def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
-                     dtype: Dtype, u: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     dtype: Dtype, u: Optional[jnp.ndarray] = None,
+                     gn: Optional[tuple] = None) -> jnp.ndarray:
     """Functional 3x3 same-pad conv with the winograd/XLA shape dispatch used
     by WinoConv3x3 (shared by the split-concat resblock path). `u` is the
     hoisted weight transform (inference only — that path skips the AD
-    wrapper, gradients always route through the transform-inside variant)."""
+    wrapper, gradients always route through the transform-inside variant).
+
+    `gn` = (mult, add), each (B, C_in) fp32: the GroupNorm+SiLU prologue as a
+    per-(batch, channel) affine — the conv input becomes silu(x*mult + add).
+    On the winograd inference path the fold runs IN-KERNEL (no normalized
+    activation materialized in HBM); every other path applies it elementwise
+    first (identical math, fp32 silu)."""
     from minddiffusion_tpu.ops import winograd
 
     _, h, w, c = x.shape
@@ -179,9 +206,16 @@ def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.nda
     x = x.astype(dtype)
     if bias is None:
         bias = jnp.zeros((features,), jnp.float32)
+    if use_wino and u is not None:
+        if gn is not None:
+            return winograd.conv3x3_winograd(x, kernel.astype(dtype), bias,
+                                             u=u, gn_mult=gn[0], gn_add=gn[1])
+        return winograd.conv3x3_winograd(x, kernel.astype(dtype), bias, u=u)
+    if gn is not None:
+        xf = x.astype(jnp.float32) * gn[0][:, None, None, :] \
+            + gn[1][:, None, None, :]
+        x = (xf * jax.nn.sigmoid(xf)).astype(dtype)
     if use_wino:
-        if u is not None:
-            return winograd.conv3x3_winograd(x, kernel.astype(dtype), bias, u=u)
         return winograd.conv3x3_winograd_ad(x, kernel.astype(dtype), bias)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(dtype), (1, 1), ((1, 1), (1, 1)),
@@ -230,7 +264,8 @@ class WinoConv3x3(nn.Module):
     zero_init: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 gn: Optional[tuple] = None) -> jnp.ndarray:
         init = (nn.initializers.zeros if self.zero_init
                 else nn.initializers.lecun_normal())
         kernel = self.param("kernel", init, (3, 3, x.shape[-1], self.features),
@@ -241,7 +276,7 @@ class WinoConv3x3(nn.Module):
         # output in compute dtype like nn.Conv (a preferred fp32 output
         # doubles the write traffic for no accuracy gain — the MXU
         # accumulator is fp32 either way)
-        return conv3x3_dispatch(x, kernel, bias, self.dtype, u=u)
+        return conv3x3_dispatch(x, kernel, bias, self.dtype, u=u, gn=gn)
 
 
 def conv3x3(features: int, dtype: Dtype, zero_init: bool = False, stride: int = 1,

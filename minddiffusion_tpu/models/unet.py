@@ -34,6 +34,7 @@ from minddiffusion_tpu.models.layers import (
     GroupNorm32,
     conv3x3_dispatch,
     hoisted_wino_u,
+    wino_route,
     fused_upsample_conv3x3,
     avg_pool_2x,
     conv1x1,
@@ -131,6 +132,59 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
+def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5):
+    """GroupNorm folded to a per-(batch, channel) affine: returns (mult, add)
+    with GroupNorm(x)*scale + bias == x*mult + add. Same fp32 stats formula
+    as _split_group_norm_silu (tested equal to flax GroupNorm). Feeds the
+    winograd kernel's fused GN+SiLU prologue (layers.conv3x3_dispatch gn=),
+    which skips materializing the normalized activation in HBM."""
+    c = x.shape[-1]
+    groups = num_groups
+    while c % groups:
+        groups -= 1
+    gs = c // groups
+    b = x.shape[0]
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=(1, 2))
+    s2 = jnp.sum(x32 * x32, axis=(1, 2))
+    n = x.shape[1] * x.shape[2] * gs
+    mu_g = s1.reshape(b, groups, gs).sum(-1) / n
+    ex2_g = s2.reshape(b, groups, gs).sum(-1) / n
+    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
+    mu_c = jnp.repeat(mu_g, gs, axis=-1)
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)
+    mult = inv_c * scale[None]
+    add = bias[None] - mu_c * mult
+    return mult, add
+
+
+def _split_gn_affine(parts, scale, bias, num_groups=32, eps=1e-5):
+    """_gn_affine over the channel-concat of `parts` WITHOUT materializing the
+    concat (split-concat resblocks): group moments from per-part partial
+    sums, affine returned full-width for per-part slicing."""
+    c = sum(p.shape[-1] for p in parts)
+    groups = num_groups
+    while c % groups:
+        groups -= 1
+    gs = c // groups
+    b = parts[0].shape[0]
+    stats = []
+    for p in parts:
+        x32 = p.astype(jnp.float32)
+        stats.append((jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))))
+    s1 = jnp.concatenate([s for s, _ in stats], axis=-1)
+    s2 = jnp.concatenate([q for _, q in stats], axis=-1)
+    n = parts[0].shape[1] * parts[0].shape[2] * gs
+    mu_g = s1.reshape(b, groups, gs).sum(-1) / n
+    ex2_g = s2.reshape(b, groups, gs).sum(-1) / n
+    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
+    mu_c = jnp.repeat(mu_g, gs, axis=-1)
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)
+    mult = inv_c * scale[None]
+    add = bias[None] - mu_c * mult
+    return mult, add
+
+
 def _split_group_norm_silu(parts, scale, bias, num_groups=32, eps=1e-5):
     """GroupNorm+SiLU over the channel-concat of `parts` WITHOUT materializing
     the concat: group moments come from per-part per-channel partial sums
@@ -184,15 +238,26 @@ class ResBlock(nn.Module):
         if skip is not None:
             return self._call_split(x, skip, emb)
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="norm_in")(x)
-        h = nn.silu(h)
-        if self.up:
-            h = nearest_upsample_2x(h)
-            x = nearest_upsample_2x(x)
-        elif self.down:
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
+        # GN+SiLU folded into the winograd conv as an in-kernel affine
+        # prologue (no normalized activation materialized in HBM) wherever
+        # the conv routes to the kernel; the module path otherwise.
+        fuse_in = (not self.up and not self.down
+                   and wino_route(x.shape[1], x.shape[2], in_ch,
+                                  self.out_channels))
+        if fuse_in:
+            gs_, gb_ = _GN32Params(in_ch, name="norm_in")()
+            h = conv3x3(self.out_channels, self.dtype, name="conv_in")(
+                x, gn=_gn_affine(x, gs_, gb_))
+        else:
+            h = GroupNorm32(name="norm_in")(x)
+            h = nn.silu(h)
+            if self.up:
+                h = nearest_upsample_2x(h)
+                x = nearest_upsample_2x(x)
+            elif self.down:
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
         if os.environ.get("MDT_GN_BARRIER", "0") == "1":
             # keep the GroupNorm stat-reduce OUT of the conv fusion: fused
             # convert_reduce convs run ~141T vs ~184T for plain conv+add
@@ -206,15 +271,33 @@ class ResBlock(nn.Module):
         )(nn.silu(emb))
         emb_out = emb_out[:, None, None, :]
 
+        fuse_out = wino_route(h.shape[1], h.shape[2], self.out_channels,
+                              self.out_channels)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="norm_out")(h) * (1.0 + scale) + shift
-            h = nn.silu(h)
+            if fuse_out:
+                gs2, gb2 = _GN32Params(self.out_channels, name="norm_out")()
+                m0, a0 = _gn_affine(h, gs2, gb2)
+                s_ = 1.0 + scale[:, 0, 0, :].astype(jnp.float32)
+                sh_ = shift[:, 0, 0, :].astype(jnp.float32)
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h, gn=(m0 * s_, a0 * s_ + sh_))
+            else:
+                h = GroupNorm32(name="norm_out")(h) * (1.0 + scale) + shift
+                h = nn.silu(h)
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(name="norm_out")(h)
-            h = nn.silu(h)
-        h = conv3x3(self.out_channels, self.dtype, zero_init=True, name="conv_out")(h)
+            if fuse_out:
+                gs2, gb2 = _GN32Params(self.out_channels, name="norm_out")()
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h, gn=_gn_affine(h, gs2, gb2))
+            else:
+                h = GroupNorm32(name="norm_out")(h)
+                h = nn.silu(h)
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h)
 
         if in_ch != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
@@ -230,14 +313,30 @@ class ResBlock(nn.Module):
         groups = 32
         while in_ch % groups:
             groups -= 1
-        hx, hs = _split_group_norm_silu([x, skip], gn_scale, gn_bias,
-                                        num_groups=groups)
-        if self.up:
-            hx, hs = nearest_upsample_2x(hx), nearest_upsample_2x(hs)
-            x, skip = nearest_upsample_2x(x), nearest_upsample_2x(skip)
-        elif self.down:
-            hx, hs = avg_pool_2x(hx), avg_pool_2x(hs)
-            x, skip = avg_pool_2x(x), avg_pool_2x(skip)
+        fuse_in = (not self.up and not self.down
+                   and (wino_route(x.shape[1], x.shape[2], cx,
+                                   self.out_channels)
+                        or wino_route(x.shape[1], x.shape[2], skip.shape[-1],
+                                      self.out_channels)))
+        if fuse_in:
+            # combined-stats GN folded to per-half affines; the winograd
+            # halves take it as the in-kernel prologue, a non-wino half
+            # applies it elementwise (identical math)
+            mult, add = _split_gn_affine([x, skip], gn_scale, gn_bias,
+                                         num_groups=groups)
+            hx, hs = x, skip
+            gn0 = (mult[:, :cx], add[:, :cx])
+            gn1 = (mult[:, cx:], add[:, cx:])
+        else:
+            hx, hs = _split_group_norm_silu([x, skip], gn_scale, gn_bias,
+                                            num_groups=groups)
+            gn0 = gn1 = None
+            if self.up:
+                hx, hs = nearest_upsample_2x(hx), nearest_upsample_2x(hs)
+                x, skip = nearest_upsample_2x(x), nearest_upsample_2x(skip)
+            elif self.down:
+                hx, hs = avg_pool_2x(hx), avg_pool_2x(hs)
+                x, skip = avg_pool_2x(x), avg_pool_2x(skip)
         k_in, b_in = Conv3x3Params(in_ch, self.out_channels,
                                    name="conv_in")()
         # per-half hoisted winograd transforms: the capture pass stores U of
@@ -247,24 +346,43 @@ class ResBlock(nn.Module):
                             self.out_channels, self.dtype)
         u1 = hoisted_wino_u(self, "conv_in_u1", k_in[:, :, cx:], hs,
                             self.out_channels, self.dtype)
-        h = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype, u=u0)
-             + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype, u=u1))
+        h = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype, u=u0,
+                              gn=gn0)
+             + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype, u=u1,
+                                gn=gn1))
 
         emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             self.dtype, name="emb_proj",
         )(nn.silu(emb))
         emb_out = emb_out[:, None, None, :]
+        fuse_out = wino_route(h.shape[1], h.shape[2], self.out_channels,
+                              self.out_channels)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="norm_out")(h) * (1.0 + scale) + shift
-            h = nn.silu(h)
+            if fuse_out:
+                gs2, gb2 = _GN32Params(self.out_channels, name="norm_out")()
+                m0, a0 = _gn_affine(h, gs2, gb2)
+                s_ = 1.0 + scale[:, 0, 0, :].astype(jnp.float32)
+                sh_ = shift[:, 0, 0, :].astype(jnp.float32)
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h, gn=(m0 * s_, a0 * s_ + sh_))
+            else:
+                h = GroupNorm32(name="norm_out")(h) * (1.0 + scale) + shift
+                h = nn.silu(h)
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(name="norm_out")(h)
-            h = nn.silu(h)
-        h = conv3x3(self.out_channels, self.dtype, zero_init=True,
-                    name="conv_out")(h)
+            if fuse_out:
+                gs2, gb2 = _GN32Params(self.out_channels, name="norm_out")()
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h, gn=_gn_affine(h, gs2, gb2))
+            else:
+                h = GroupNorm32(name="norm_out")(h)
+                h = nn.silu(h)
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv_out")(h)
 
         if in_ch != self.out_channels:
             k_sk, b_sk = _Conv1x1Params(in_ch, self.out_channels,

@@ -70,6 +70,40 @@ def _wino_kernel(x_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
                   cp=cp, c_out=c_out, fp32_transform=fp32_transform)
 
 
+def _wino_kernel_dma_gn(x_any, u_ref, b_ref, m_ref, a_ref, cm_ref, o_ref,
+                        xs_ref, sems, *, bh: int, width: int, cp: int,
+                        c_out: int, n_tiles: int, total: int, h: int,
+                        fp32_transform: bool):
+    """DMA variant with the fused GroupNorm+SiLU prologue (see _wino_compute).
+    m_ref/a_ref: (B, 2cp) fp32 per-batch affine rows; cm_ref: (wcols, 2cp)
+    {0,1} interior-column mask."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    idx = bi * n_tiles + ti
+
+    def dma(i_lin, slot):
+        tbi = jax.lax.div(i_lin, n_tiles)
+        tti = jax.lax.rem(i_lin, n_tiles)
+        return pltpu.make_async_copy(
+            x_any.at[tbi, pl.ds(tti * bh, bh + 2)],
+            xs_ref.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        dma(idx, slot).start()
+
+    @pl.when(idx + 1 < total)
+    def _():
+        dma(idx + 1, 1 - slot).start()
+
+    dma(idx, slot).wait()
+    gn = (m_ref[bi], a_ref[bi], cm_ref[...], ti * bh, h)
+    _wino_compute(xs_ref[slot], u_ref, b_ref, o_ref, bh=bh, width=width,
+                  cp=cp, c_out=c_out, fp32_transform=fp32_transform, gn=gn)
+
+
 def _wino_kernel_dma(x_any, u_ref, b_ref, o_ref, xs_ref, sems, *, bh: int,
                      width: int, cp: int, c_out: int, n_tiles: int,
                      total: int, fp32_transform: bool):
@@ -107,10 +141,28 @@ def _wino_kernel_dma(x_any, u_ref, b_ref, o_ref, xs_ref, sems, *, bh: int,
 
 
 def _wino_compute(q, u_ref, b_ref, o_ref, *, bh: int, width: int,
-                  cp: int, c_out: int, fp32_transform: bool):
-    """Shared transform-matmul-inverse body. q: (bh+2, (W+4)/2, 2cp)."""
+                  cp: int, c_out: int, fp32_transform: bool,
+                  gn: Optional[tuple] = None):
+    """Shared transform-matmul-inverse body. q: (bh+2, (W+4)/2, 2cp).
+
+    `gn` = (mult_row, add_row, col_mask, row_lo, h) fuses the GroupNorm+SiLU
+    prologue: interior elements become silu(q*mult + add); padding positions
+    (identified by col_mask and the global row range) stay exactly 0 so the
+    halo math is unchanged. mult/add are this batch element's (2cp,) affine
+    vectors, col_mask is (wcols, 2cp) {0,1}, row_lo is the tile's first
+    global PADDED row index, h the unpadded height."""
     t = bh // 2
     tx = width // 2
+
+    if gn is not None:
+        mult_row, add_row, col_mask, row_lo, h = gn
+        qf = q.astype(jnp.float32) * mult_row + add_row
+        qf = qf * jax.nn.sigmoid(qf)               # silu
+        rows = row_lo + jax.lax.broadcasted_iota(
+            jnp.int32, (bh + 2, 1, 1), 0)          # global padded row ids
+        row_ok = (rows >= 1) & (rows <= h)
+        q = jnp.where(row_ok & (col_mask[None] if col_mask.ndim == 2
+                                else col_mask), qf, 0.0)
 
     tdt = jnp.float32 if fp32_transform else q.dtype
     # column combos (B^T applied to the W axis); d0..d3 are the 4 winograd
@@ -174,6 +226,8 @@ def conv3x3_winograd(
     kernel: jnp.ndarray,   # (3, 3, C_in, C_out) HWIO
     bias: Optional[jnp.ndarray] = None,
     u: Optional[jnp.ndarray] = None,   # hoisted (16, C_in, C_out) transform
+    gn_mult: Optional[jnp.ndarray] = None,   # (B, C_in) fp32 affine prologue
+    gn_add: Optional[jnp.ndarray] = None,    # (B, C_in) fp32
     block_rows: int = 32,
     fp32_transform: bool = True,
     interpret: bool = False,
@@ -184,6 +238,13 @@ def conv3x3_winograd(
     Pass `u` (= transform_weights(kernel), any dtype) to skip the in-graph
     weight transform — used by the inference pipelines to hoist the
     loop-invariant transform out of the sampler scan (capture pass).
+
+    `gn_mult`/`gn_add` fuse the GroupNorm(+SiLU) prologue into the kernel:
+    the conv input becomes silu(x * mult + add) per (batch, channel) WITHOUT
+    materializing the normalized activation in HBM (a full extra read+write
+    pass plus a relayout copy per conv otherwise). On the DMA path the fold
+    happens in-kernel with pad masking; otherwise it is applied elementwise
+    before padding (numerically identical — silu in fp32 either way).
 
     `dma` (default on; MDT_WINO_DMA=0 opts out): the kernel fetches its own
     overlapping halo windows via async copies instead of the host
@@ -199,6 +260,13 @@ def conv3x3_winograd(
         bias = jnp.zeros((c_out,), jnp.float32)
     if dma is None:
         dma = os.environ.get("MDT_WINO_DMA", "1") != "0"
+    has_gn = gn_mult is not None
+    if has_gn and not dma:
+        # no in-kernel masking on the gather path: fold on the host instead
+        xf = x.astype(jnp.float32) * gn_mult[:, None, None, :] \
+            + gn_add[:, None, None, :]
+        x = (xf * jax.nn.sigmoid(xf)).astype(dtype)
+        has_gn = False
 
     cp = _round_up(c_in, 128)
     bh = min(block_rows, h)
@@ -228,8 +296,21 @@ def conv3x3_winograd(
 
     if dma:
         x_m = xp.reshape(b, hp + 2, wcols, 2 * cp)  # lane-merge (one pass)
-        out = _wino_pallas_dma(x_m, u, bias, b=b, hp=hp, w=w, bh=bh,
-                               n_tiles=n_tiles, wcols=wcols, cp=cp,
+        gn_ops = None
+        if has_gn:
+            mp_ = jnp.pad(gn_mult.astype(jnp.float32), ((0, 0), (0, cp - c_in)))
+            ap_ = jnp.pad(gn_add.astype(jnp.float32), ((0, 0), (0, cp - c_in)))
+            cols = jnp.arange(wcols)
+            ch_ok = jnp.arange(cp) < c_in
+            even_ok = (cols * 2 >= 1) & (cols * 2 <= w)     # col 0 = left pad
+            odd_ok = cols * 2 + 1 <= w
+            col_mask = jnp.concatenate(
+                [even_ok[:, None] & ch_ok[None], odd_ok[:, None] & ch_ok[None]],
+                axis=-1).astype(jnp.float32) > 0            # (wcols, 2cp) bool
+            gn_ops = (jnp.concatenate([mp_, mp_], axis=-1),
+                      jnp.concatenate([ap_, ap_], axis=-1), col_mask)
+        out = _wino_pallas_dma(x_m, u, bias, gn_ops, b=b, h=h, hp=hp, w=w,
+                               bh=bh, n_tiles=n_tiles, wcols=wcols, cp=cp,
                                c_out=c_out, dtype=dtype,
                                fp32_transform=fp32_transform,
                                interpret=interpret)
@@ -247,20 +328,33 @@ def conv3x3_winograd(
     return out[:, :h]
 
 
-def _wino_pallas_dma(x_m, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
-                     c_out, dtype, fp32_transform, interpret):
+def _wino_pallas_dma(x_m, u, bias, gn_ops, *, b, h, hp, w, bh, n_tiles,
+                     wcols, cp, c_out, dtype, fp32_transform, interpret):
+    has_gn = gn_ops is not None
+    if has_gn:
+        kernel = functools.partial(
+            _wino_kernel_dma_gn, bh=bh, width=w, cp=cp, c_out=c_out,
+            n_tiles=n_tiles, total=b * n_tiles, h=h,
+            fp32_transform=fp32_transform)
+    else:
+        kernel = functools.partial(
+            _wino_kernel_dma, bh=bh, width=w, cp=cp, c_out=c_out,
+            n_tiles=n_tiles, total=b * n_tiles,
+            fp32_transform=fp32_transform)
+    in_specs = [
+        # pin to HBM: under ANY the compiler may place the whole array in
+        # VMEM, where the dynamic halo-window slice fails to lower
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 if has_gn else [])
+    args = [x_m, u, bias.reshape(1, c_out).astype(jnp.float32)]
+    if has_gn:
+        args += list(gn_ops)
     return pl.pallas_call(
-        functools.partial(_wino_kernel_dma, bh=bh, width=w, cp=cp,
-                          c_out=c_out, n_tiles=n_tiles, total=b * n_tiles,
-                          fp32_transform=fp32_transform),
+        kernel,
         grid=(b, n_tiles),
-        in_specs=[
-            # pin to HBM: under ANY the compiler may place the whole array in
-            # VMEM, where the dynamic halo-window slice fails to lower
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bh, w // 2, 2 * c_out),
                                lambda bi, i: (bi, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hp, w // 2, 2 * c_out), dtype),
@@ -271,7 +365,7 @@ def _wino_pallas_dma(x_m, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * w * 4 * cp * c_out,
             bytes_accessed=b * hp * w * (4 * cp + c_out) * 2,
-            transcendentals=0,
+            transcendentals=b * hp * w * cp if has_gn else 0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -279,7 +373,7 @@ def _wino_pallas_dma(x_m, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_m, u, bias.reshape(1, c_out).astype(jnp.float32))
+    )(*args)
 
 
 def _wino_pallas(x_t, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,

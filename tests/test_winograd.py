@@ -185,3 +185,39 @@ def test_xattn_kv_capture_roundtrip():
     direct = model.apply(v, x2, t, ctx)
     hoisted = model.apply({**v, "xattn_kv": cap["xattn_kv"]}, x2, t, ctx)
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(hoisted))
+
+
+def test_resblock_fused_gn_prologue_matches_module_path(monkeypatch):
+    """ResBlock with the GN+SiLU prologue folded into the (interpret-mode)
+    winograd conv must match the GroupNorm32-module path."""
+    from minddiffusion_tpu.models import layers
+    from minddiffusion_tpu.models.unet import ResBlock
+    from minddiffusion_tpu.ops import winograd
+
+    real = winograd.conv3x3_winograd
+
+    def interp(x, kernel, bias=None, u=None, gn_mult=None, gn_add=None, **kw):
+        kw["interpret"] = True
+        return real(x, kernel, bias, u, gn_mult, gn_add, **kw)
+
+    monkeypatch.setattr(winograd, "conv3x3_winograd", interp)
+    monkeypatch.setattr(winograd, "conv3x3_winograd_ad", interp)
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    x = jax.random.normal(ks[0], (2, 8, 8, 32))
+    skip = jax.random.normal(ks[3], (2, 8, 8, 32))
+    emb = jax.random.normal(ks[1], (2, 16))
+    for use_ssn in (False, True):
+        for use_skip in (False, True):
+            block = ResBlock(out_channels=16, use_scale_shift_norm=use_ssn)
+            args = (x, emb, skip) if use_skip else (x, emb)
+            p = block.init(ks[2], *args)
+            base = block.apply(p, *args)          # module GN path (no wino)
+            monkeypatch.setattr(layers, "wino_route",
+                                lambda h, w, ci, co: h % 2 == 0 and w % 2 == 0)
+            fused = block.apply(p, *args)         # fused-prologue wino path
+            monkeypatch.setattr(layers, "wino_route",
+                                lambda h, w, ci, co: False)
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                       rtol=3e-4, atol=3e-4)
+    monkeypatch.undo()
