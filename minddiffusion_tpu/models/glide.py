@@ -144,8 +144,20 @@ class GlideAttentionBlock(nn.Module):
         qkv = dense(3 * c, self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if encoder_out is not None:
-            ekv = dense(2 * c, self.dtype, name="encoder_kv")(encoder_out.astype(self.dtype))
-            ek, ev = jnp.split(ekv, 2, axis=-1)
+            hoistable = not self.is_initializing()
+            if hoistable and self.has_variable("xattn_kv", "ek"):
+                # hoisted encoder K/V: the xf encoding is constant across
+                # every sampler step, so the pipeline captures this projection
+                # once OUTSIDE the scan (glide_cascade capture pass)
+                ek = self.get_variable("xattn_kv", "ek")
+                ev = self.get_variable("xattn_kv", "ev")
+            else:
+                ekv = dense(2 * c, self.dtype, name="encoder_kv")(
+                    encoder_out.astype(self.dtype))
+                ek, ev = jnp.split(ekv, 2, axis=-1)
+                if hoistable and self.is_mutable_collection("xattn_kv"):
+                    self.put_variable("xattn_kv", "ek", ek)
+                    self.put_variable("xattn_kv", "ev", ev)
             k = jnp.concatenate([ek, k], axis=1)
             v = jnp.concatenate([ev, v], axis=1)
         out = packed_attention(q, k, v, self.heads, impl=self.attn_impl)

@@ -2,10 +2,20 @@
 
 F(2x2,3x3) (ops/winograd.py) cuts 3x3-conv MACs 2.25x; F(4x4,3x3) cuts them
 4x: 36 MACs per 4x4-pixel tile = 2.25 per pixel vs 9 direct. The VAE decoder
-is where this pays: XLA's direct conv already runs at 186-193 TFLOP/s there
+was the target: XLA's direct conv already runs at 186-193 TFLOP/s there
 (compute-bound AT the bf16 peak), so only a FLOP reduction can make decode
 faster — and the decoder's channel widths (512/256/128) are all lane-aligned,
 so the inner matmuls don't pay the 320-channel padding tax the UNet does.
+
+STATUS — measured NEGATIVE on v5e, not wired into any model. Scan-timed b8:
+128x128x512->512: 6.67 ms vs XLA 6.73 (tie); 256x256x256: 9.52 vs 7.51
+(LOSES); 512x512x128: 14.78 vs 8.31 (LOSES 1.8x); 256x256x512->256: 13.05 vs
+12.15. The 2.25x-data fp32 transforms are VPU-bandwidth-bound at large
+spatial extents and swamp the MXU savings — the same failure mode that keeps
+F(2,3) off the 64x64 UNet level, amplified by the 6-slot combos. bf16 error
+is also ~15x F(2,3)'s (relerr ~6e-2 vs 4e-3; A^T/B^T constants up to 8).
+Kept as a parity-tested record of WHY the VAE stays on XLA's direct conv;
+`wino43_wins` is referenced by no model path.
 
 Structure mirrors ops/winograd.py's DMA path: lane-merge groups of FOUR
 columns into 4*cp lanes on the host (one retiling pass), the kernel fetches

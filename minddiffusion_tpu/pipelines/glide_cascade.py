@@ -109,6 +109,25 @@ class GlideModels:
         return params
 
 
+def _hoist_invariants(model, variables, dummy_args, method):
+    """Capture loop-invariant per-step work (encoder K/V projections of the
+    constant xf encoding, winograd weight transforms) OUTSIDE a sampler's
+    `lax.scan` and return augmented variables whose collections the scan body
+    reads as constants. Only the captured values' data paths stay live in the
+    capture pass — the rest is dead code XLA eliminates. Mirrors the SD
+    pipelines' _make_eps_fn capture (see models/glide.GlideAttentionBlock,
+    models/layers.hoisted_wino_u)."""
+    import os
+
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("MDT_HOIST", "1") == "0"):
+        return variables
+    _, cap = model.apply(variables, *dummy_args, method=method,
+                         mutable=["xattn_kv", "wino_u"])
+    hoisted = {col: vals for col, vals in cap.items() if jax.tree.leaves(vals)}
+    return {**variables, **hoisted}
+
+
 class GlideCascadePipeline:
     def __init__(self, models: GlideModels):
         self.models = models
@@ -153,10 +172,12 @@ class GlideCascadePipeline:
                 return m.base.apply(params["base"], tok, msk,
                                     method=m.base.encode_text)
 
-            def cfg_denoise(x, t_orig, xf_proj2, xf_out2):
+            def cfg_denoise(x, t_orig, xf_proj2, xf_out2, variables=None):
                 x2 = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.concatenate([t_orig, t_orig], axis=0)
-                eps2, v2 = m.base.apply(params["base"], x2, t2, xf_proj2, xf_out2,
+                eps2, v2 = m.base.apply(variables if variables is not None
+                                        else params["base"],
+                                        x2, t2, xf_proj2, xf_out2,
                                         method=m.base.denoise)
                 eps_c, eps_u = jnp.split(eps2, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
@@ -170,8 +191,19 @@ class GlideCascadePipeline:
                 mask2 = jnp.concatenate([mask, unc_mask], axis=0)
                 xf_proj2, xf_out2 = encode_base(tok2, mask2)
 
+                # hoist loop-invariant work out of the sampling scan (XLA
+                # won't): encoder K/V projections of the constant xf encoding
+                # and the winograd weight transforms (capture pass; same
+                # mechanism as the SD pipelines)
+                base_vars = _hoist_invariants(
+                    m.base, params["base"],
+                    (jnp.zeros((2 * b, base_size, base_size, 3)),
+                     jnp.zeros((2 * b,), jnp.int32), xf_proj2, xf_out2),
+                    m.base.denoise)
+
                 def base_model_fn(x, t_orig):
-                    return cfg_denoise(x, t_orig, xf_proj2, xf_out2)
+                    return cfg_denoise(x, t_orig, xf_proj2, xf_out2,
+                                       variables=base_vars)
 
                 model_takes_key = False
             else:
@@ -198,9 +230,14 @@ class GlideCascadePipeline:
             low_res = quantize_roundtrip(img64)
             xf_proj_s, xf_out_s = m.super_res.apply(
                 params["super_res"], tokens, mask, method=m.super_res.encode_text)
+            sr_vars = _hoist_invariants(
+                m.super_res, params["super_res"],
+                (jnp.zeros((b, sr_size, sr_size, 3)),
+                 jnp.zeros((b,), jnp.int32), low_res, xf_proj_s, xf_out_s),
+                m.super_res.denoise)
 
             def sr_model_fn(x, t_orig):
-                return m.super_res.apply(params["super_res"], x, t_orig, low_res,
+                return m.super_res.apply(sr_vars, x, t_orig, low_res,
                                          xf_proj_s, xf_out_s,
                                          method=m.super_res.denoise)
 

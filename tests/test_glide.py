@@ -165,3 +165,28 @@ def test_cascade_per_step_uncond_parity_mode():
         np.asarray(out_gen["base"]).astype(np.int32).sum()
     with pytest.raises(ValueError):
         pipe.build_generate(**common_kw, uncond_mode="bogus")
+
+
+def test_glide_encoder_kv_capture_roundtrip():
+    """Encoder K/V captured via the `xattn_kv` collection (loop-invariant xf
+    hoisting, glide_cascade._hoist_invariants) must reproduce the direct
+    denoise exactly for a different x with the same encoding."""
+    model = Text2ImUNet(tiny_unet(), tiny_xf())
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    tok = jax.random.randint(ks[0], (2, 8), 0, 64)
+    msk = jnp.ones((2, 8), jnp.int32)
+    x = jax.random.normal(ks[1], (2, 16, 16, 3))
+    t = jnp.array([3, 7])
+    v = model.init(ks[2], x, t, tok, msk)
+    v = {"params": unzero_head(v["params"])}
+    xf_proj, xf_out = model.apply(v, tok, msk, method=model.encode_text)
+    base = model.apply(v, x, t, xf_proj, xf_out, method=model.denoise)
+    _, cap = model.apply(v, x, t, xf_proj, xf_out, method=model.denoise,
+                         mutable=["xattn_kv"])
+    assert jax.tree.leaves(cap["xattn_kv"]), "no encoder K/V captured"
+    x2 = jax.random.normal(ks[3], (2, 8, 8, 3))
+    direct = model.apply(v, x2, t, xf_proj, xf_out, method=model.denoise)
+    hoisted = model.apply({**v, "xattn_kv": cap["xattn_kv"]}, x2, t,
+                          xf_proj, xf_out, method=model.denoise)
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(hoisted)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
