@@ -1,13 +1,19 @@
 """Pallas TPU 3x3 same-padding conv (stride 1) — implicit GEMM.
 
-XLA:TPU's conv at SD's resblock shapes measures ~30% of peak (53-61 TFLOP/s,
-see ROADMAP.md); this kernel expresses the conv as 9 shifted (rows, W, C_in) @
+STATUS: measured LOSING experiment, superseded by ops/winograd.py (which now
+also does kernel-side halo DMA — the "does not compile" note below predates
+the 8-aligned-slice fix in _wino_kernel_dma). Round-1 microbenches over the
+tunnel carried a ~2 ms/call dispatch bias that made XLA's conv look like
+53-61 TFLOP/s; corrected scan-amortized truth is 111-190 TFLOP/s at SD
+shapes, which neither kernel here approaches. Kept (with its bench harness,
+benchmarks/bench_conv.py) as the record of the implicit-GEMM design space.
+
+The kernel expresses the conv as 9 shifted (rows, W, C_in) @
 (C_in, C_out) MXU matmuls accumulating in fp32. Standard BlockSpecs only
-describe disjoint blocks, and kernel-side halo DMA does not compile in this
-environment, so the row halo is materialized host-side: a gather builds
-overlapping row tiles (B, n_tiles, bh+2, W+2, C) — 2/bh extra HBM traffic
-(6% at the default bh=32), far cheaper than im2col's 9x patches. The 9
-shifted windows are then plain slices of the VMEM-resident tile.
+describe disjoint blocks, so the row halo is materialized host-side: a
+gather builds overlapping row tiles (B, n_tiles, bh+2, W+2, C) — 2/bh extra
+HBM traffic (6% at the default bh=32), far cheaper than im2col's 9x patches.
+The 9 shifted windows are then plain slices of the VMEM-resident tile.
 
 Layout contract matches flax nn.Conv: x (B, H, W, C_in) NHWC, kernel
 (3, 3, C_in, C_out) HWIO, bias (C_out,). fp32 accumulation, output in the

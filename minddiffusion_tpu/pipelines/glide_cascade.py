@@ -122,8 +122,19 @@ def _hoist_invariants(model, variables, dummy_args, method):
     if (jax.default_backend() != "tpu"
             or os.environ.get("MDT_HOIST", "1") == "0"):
         return variables
+    # A/B on the full cascade (img/s/chip to 1024px, b8): no hoist 1.936,
+    # encoder-KV only 1.954, winograd-U only 1.826 — U tensors held live as
+    # scan constants regress GLIDE's small wino sites, unlike SD2 where the
+    # U hoist is the big win. Default: KV only.
+    cols = []
+    if os.environ.get("MDT_HOIST_KV", "1") != "0":
+        cols.append("xattn_kv")
+    if os.environ.get("MDT_HOIST_WINO", "0") != "0":
+        cols.append("wino_u")
+    if not cols:
+        return variables
     _, cap = model.apply(variables, *dummy_args, method=method,
-                         mutable=["xattn_kv", "wino_u"])
+                         mutable=cols)
     hoisted = {col: vals for col, vals in cap.items() if jax.tree.leaves(vals)}
     return {**variables, **hoisted}
 
