@@ -56,10 +56,13 @@ def wrap_model(
     """
 
     def guided(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        # a batch-1 t broadcasts against either half (samplers.common
+        # broadcast_t); only a full-batch t needs the explicit duplicate
+        t2 = t if t.shape[0] == 1 else duplicate(t)
         if dedup:
             eps2 = apply_fn(x, t, folded_cond)
         else:
-            eps2 = apply_fn(duplicate(x), duplicate(t), folded_cond)
+            eps2 = apply_fn(duplicate(x), t2, folded_cond)
         return guide(eps2, scale)
 
     return guided

@@ -494,7 +494,10 @@ class UNetModel(nn.Module):
             h = self._spatial_transformer(ch, name)(h, context,
                                                     cfg_fold=pending_fold)
             if pending_fold:
-                emb = jnp.concatenate([emb, emb], axis=0)
+                if emb.shape[0] > 1:
+                    # batch-1 emb (uniform sampler timestep) broadcasts to
+                    # either fold half as-is
+                    emb = jnp.concatenate([emb, emb], axis=0)
                 pending_fold = False
             return h
 

@@ -185,7 +185,10 @@ class GlideCascadePipeline:
 
             def cfg_denoise(x, t_orig, xf_proj2, xf_out2, variables=None):
                 x2 = jnp.concatenate([x, x], axis=0)
-                t2 = jnp.concatenate([t_orig, t_orig], axis=0)
+                # batch-1 t (samplers.common.broadcast_t) broadcasts to both
+                # CFG halves; a full-batch t needs the explicit duplicate
+                t2 = (t_orig if t_orig.shape[0] == 1
+                      else jnp.concatenate([t_orig, t_orig], axis=0))
                 eps2, v2 = m.base.apply(variables if variables is not None
                                         else params["base"],
                                         x2, t2, xf_proj2, xf_out2,

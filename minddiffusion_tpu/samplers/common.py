@@ -36,8 +36,17 @@ def per_step_keys(key: Optional[jax.Array], n: int) -> jnp.ndarray:
 
 
 def broadcast_t(t_scalar: jnp.ndarray, batch: int) -> jnp.ndarray:
-    """Per-step scalar timestep -> (B,) vector for the model."""
-    return jnp.broadcast_to(t_scalar, (batch,))
+    """Per-step scalar timestep -> batch-1 (1,) vector for the model.
+
+    Every sampler step uses ONE timestep for the whole batch, so the model's
+    time-embedding chain (sinusoid -> 2-layer MLP -> per-resblock emb
+    projections, ~20 small GEMMs per UNet step) runs at batch 1 and
+    broadcasts against the (B, H, W, C) activations — numerically identical
+    to the (B,)-replicated form, measurably cheaper inside the 50-step scan.
+    Table gathers (jnp.take(table, t)[:, None, None, None]) broadcast the
+    same way. `batch` is kept for call-site clarity/debug, unused."""
+    del batch
+    return jnp.broadcast_to(t_scalar, (1,))
 
 
 def masked_blend_fn(
