@@ -53,6 +53,16 @@ def main() -> None:
         lambda r: models.init_params(r, height=H, width=W)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    # store matmul/conv kernels in the compute dtype: bit-identical outputs
+    # (the model casts fp32->bf16 in-graph anyway; tests/test_models.py),
+    # measured e2e-NEUTRAL for throughput (1.904 vs 1.906 img/s — the scan's
+    # weight re-reads overlap with compute), but it halves param HBM
+    # residency (5.2 GB -> 2.6 GB), which is the serving headroom that lets
+    # 768²/b8 and larger configs fit comfortably (utils/params.py)
+    from minddiffusion_tpu.utils.params import cast_serving_params
+
+    params = jax.jit(cast_serving_params)(params)
+    jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     log(f"params: {n_params/1e6:.0f}M")
 

@@ -38,13 +38,18 @@ def run_config(name: str, env: dict, attn_impl, batch: int = 16) -> float:
             lambda: model.init(jax.random.PRNGKey(0), x, t, ctx))
         params = jax.tree.map(lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
 
-        def body(h, _):
-            eps = model.apply(params, h, t, ctx)
-            return eps.astype(h.dtype), ()
+        # params as a jit ARG, not a closure constant: closing over them
+        # bakes ~3.5 GB of constants into the program and makes remote
+        # compiles pathological (see ROADMAP "Known-broken / deferred")
+        def run_(p, x0):
+            def body(h, _):
+                eps = model.apply(p, h, t, ctx)
+                return eps.astype(h.dtype), ()
 
-        # single compile; the ~31ms tunnel dispatch floor is <2% of a
-        # 20-step scan at these step times, so no slope correction needed
-        run = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=STEPS)[0])
+            return jax.lax.scan(body, x0, None, length=STEPS)[0]
+
+        run_j = jax.jit(run_)
+        run = lambda x0: run_j(params, x0)
         out = run(x)
         np.asarray(out[0, 0, 0])
         ts = []
@@ -124,6 +129,14 @@ CONFIGS = {
                    "pallas_fast", 16),
     "noproj_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_PROJ_ATTN="0"),
                     "pallas_fast", 16),
+    # ds1-only FF fusion (N>=4096 sites, BW-bound down-proj) on the shipped set
+    "ffds1_fast": (dict(MDT_FUSE_FF="ds1", MDT_WINO="1"), "pallas_fast", 16),
+    # GN-stat barrier incl. the split-resblock path (up_0_0 mega-fusion)
+    "gnbs_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_GN_BARRIER="1"),
+                  "pallas_fast", 16),
+    # flatten 3D dots only at the N>=4096 ds1 sites
+    "d2d_ds1_fast": (dict(MDT_FUSE_FF="0", MDT_WINO="1", MDT_DENSE2D="ds1"),
+                     "pallas_fast", 16),
 }
 
 

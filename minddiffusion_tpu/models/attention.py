@@ -272,9 +272,14 @@ class BasicTransformerBlock(nn.Module):
             # opt-in (MDT_FUSE_FF=1): measured e2e-neutral-to-slower than
             # XLA's unfused chain at SD2 shapes despite the HBM-traffic win
             # (K=320 matmul padding + serialized VPU prologue); kept for
-            # larger-width models where the weights' VMEM residency pays off
+            # larger-width models where the weights' VMEM residency pays off.
+            # MDT_FUSE_FF=ds1 fuses only the long-token sites (N >= 4096),
+            # where the GEGLU intermediate's HBM round-trip is largest and
+            # the down-proj is bandwidth-bound (xprof: 87% BW util).
+            ff_env = os.environ.get("MDT_FUSE_FF", "0")
             fuse = (jax.default_backend() == "tpu" and self.attn_impl != "xla"
-                    and os.environ.get("MDT_FUSE_FF", "0") == "1")
+                    and (ff_env == "1"
+                         or (ff_env == "ds1" and x.shape[1] >= 4096)))
         if fuse:
             s, b = _LNParams(self.dim, name="norm3")()
             x = FusedFeedForward(self.dim, dtype=self.dtype, name="ff")(x, s, b)

@@ -96,17 +96,24 @@ class Dense2D(nn.Dense):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if x.ndim <= 2:
-            return super().__call__(x)
+        # MDT_DENSE2D=1: flatten every 3D dot; =ds1: only the N>=4096 token
+        # sites (the ds1 transformer, where the {2,0,1} relayout copies
+        # around XLA's conv-emitted dots are largest)
+        mode = os.environ.get("MDT_DENSE2D", "1")
+        flat = x.ndim > 2 and (mode == "1"
+                               or (mode == "ds1" and x.shape[-2] >= 4096))
+        if not flat:
+            return nn.Dense.__call__(self, x)
         s = x.shape
-        y = super().__call__(x.reshape(-1, s[-1]))
+        y = nn.Dense.__call__(self, x.reshape(-1, s[-1]))
         return y.reshape(*s[:-1], y.shape[-1])
 
 
 def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = False,
           name: Optional[str] = None) -> nn.Dense:
     kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
-    cls = Dense2D if os.environ.get("MDT_DENSE2D", "0") == "1" else nn.Dense
+    cls = (Dense2D if os.environ.get("MDT_DENSE2D", "0") in ("1", "ds1")
+           else nn.Dense)
     return cls(
         features,
         use_bias=use_bias,

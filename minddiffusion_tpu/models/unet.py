@@ -350,6 +350,12 @@ class ResBlock(nn.Module):
                               gn=gn0)
              + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype, u=u1,
                                 gn=gn1))
+        if os.environ.get("MDT_GN_BARRIER", "0") == "1":
+            # keep norm_out's stat-reduce out of the conv fusion (see the
+            # barrier note in __call__); at 64^2 x 320 the up_0_0 site
+            # otherwise fuses BOTH conv halves + GN stats into one 122 TF/s
+            # mega-fusion (xprof convert_reduce_fusion.510)
+            h = jax.lax.optimization_barrier(h)
 
         emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,

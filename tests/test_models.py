@@ -251,3 +251,38 @@ def test_upsample_module_fused_matches_unfused():
         os.environ.pop("MDT_FUSED_UP", None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cast_serving_params_is_output_preserving():
+    """bf16 weight storage must be bit-identical to fp32 storage at serving.
+
+    Every matmul/conv kernel is cast to the compute dtype in-graph before the
+    op, so pre-casting the stored leaf (utils/params.cast_serving_params)
+    cannot change any value entering the MXU; norm scales/biases (fp32
+    application paths) must be left untouched.
+    """
+    from minddiffusion_tpu.utils.params import cast_serving_params
+
+    cfg = tiny_unet_config(dtype=jnp.bfloat16)
+    model = UNetModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    t = jnp.array([7, 123])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
+    params = model.init(jax.random.PRNGKey(2), x, t, ctx)
+    ref = model.apply(params, x, t, ctx)
+
+    cast = cast_serving_params(params)
+    leaves = jax.tree_util.tree_leaves_with_path(cast)
+    kinds = {jnp.bfloat16: 0, jnp.float32: 0}
+    for path, leaf in leaves:
+        name = path[-1].key
+        if name == "kernel":
+            assert leaf.dtype == jnp.bfloat16, path
+            kinds[jnp.bfloat16] += 1
+        elif name in ("bias", "scale"):
+            assert leaf.dtype == jnp.float32, path
+            kinds[jnp.float32] += 1
+    assert kinds[jnp.bfloat16] > 10 and kinds[jnp.float32] > 10
+
+    out = model.apply(cast, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
