@@ -18,6 +18,7 @@ reference attention.py:237-254).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -312,10 +313,19 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.dim_head
         residual = x
         x = GroupNorm32(eps=1e-6, name="norm")(x)
+        # MDT_PROJ_NHWC=1: apply the use_linear proj_in/proj_out denses on the
+        # 4D NHWC tensor (before flatten / after unflatten). Params and math
+        # are identical (nn.Dense contracts the last dim at any rank); the
+        # point is XLA's layout choice — token-major (B,N,C) dot outputs get
+        # {1,2,0}<->{2,0,1} relayout copies at every proj_out/add (xprof:
+        # ~35-40 ms e2e), which spatial-form dots may avoid.
+        proj_nhwc = os.environ.get("MDT_PROJ_NHWC", "0") == "1"
         if not self.use_linear:
             x = conv1x1(inner, self.dtype, name="proj_in")(x)
+        if self.use_linear and proj_nhwc:
+            x = dense(inner, self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, -1)
-        if self.use_linear:
+        if self.use_linear and not proj_nhwc:
             x = dense(inner, self.dtype, name="proj_in")(x)
         for i in range(self.depth):
             x = BasicTransformerBlock(
@@ -325,9 +335,11 @@ class SpatialTransformer(nn.Module):
                 lora_alpha=self.lora_alpha, attn_impl=self.attn_impl,
                 name=f"block_{i}",
             )(x, context=context, cfg_fold=cfg_fold and i == 0)
-        if self.use_linear:
+        if self.use_linear and not proj_nhwc:
             x = dense(self.in_channels, self.dtype, zero_init=True, name="proj_out")(x)
         x = x.reshape(x.shape[0], h, w, -1)
+        if self.use_linear and proj_nhwc:
+            x = dense(self.in_channels, self.dtype, zero_init=True, name="proj_out")(x)
         if not self.use_linear:
             x = conv1x1(self.in_channels, self.dtype, zero_init=True, name="proj_out")(x)
         if cfg_fold:

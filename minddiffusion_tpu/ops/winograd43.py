@@ -17,6 +17,13 @@ is also ~15x F(2,3)'s (relerr ~6e-2 vs 4e-3; A^T/B^T constants up to 8).
 Kept as a parity-tested record of WHY the VAE stays on XLA's direct conv;
 `wino43_wins` is referenced by no model path.
 
+UNet small-spatial shapes also measured (benchmarks/bench_wino43_unet.py,
+b16 scan-timed): 32²x640->640 = 2.116 ms vs F(2,3) 1.965 vs XLA 2.172 —
+F43 loses to F22 even at its best-fit UNet site (the 36 per-tile matmuls are
+M-skinny at small spatial: M = bh/4 * W/4 rows with no batch merging). The
+1280-wide ds3 sites are unreachable outright: U43 = 36*1280*1280*2B = 118 MB
+exceeds VMEM (would need combo-streamed U). F43 stays out of the UNet too.
+
 Structure mirrors ops/winograd.py's DMA path: lane-merge groups of FOUR
 columns into 4*cp lanes on the host (one retiling pass), the kernel fetches
 its own overlapping (bh+4)-row halo windows via double-buffered async copies,
