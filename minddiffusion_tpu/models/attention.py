@@ -229,7 +229,12 @@ class FusedFeedForward(nn.Module):
         f = self.dim * self.mult
         w1, b1 = _GEGLUParams(2 * f, name="geglu")(x.shape[-1])
         w2, b2 = _DenseParams(self.dim, name="proj_out")(f)
-        return fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        # br=1024/subtiles=8: best measured point at the ds1 site (2.698 ms
+        # vs 2.825 at the br=256 single-chain default; bench_ff_ds1.py) —
+        # sub-chains let Mosaic overlap one chain's VPU gelu with the next
+        # chain's MXU matmuls
+        return fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                 block_rows=1024, subtiles=8)
 
 
 class BasicTransformerBlock(nn.Module):

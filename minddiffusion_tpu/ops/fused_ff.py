@@ -48,28 +48,36 @@ def _ff_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
 
 
 def _ff_kernel(x_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-               eps: float):
-    x = x_ref[0]                                  # (bn, C) input dtype
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
-    h = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    h = h * s_ref[0].astype(jnp.float32) + t_ref[0].astype(jnp.float32)
-    g = jax.lax.dot_general(
-        h.astype(x.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[0].astype(jnp.float32)             # (bn, 8C')
-    half = g.shape[-1] // 2
-    u = g[:, :half] * jax.nn.gelu(g[:, half:], approximate=True)
-    y = jax.lax.dot_general(
-        u.astype(x.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[0].astype(jnp.float32)
-    o_ref[0] = (x32 + y).astype(o_ref.dtype)
+               eps: float, subtiles: int = 1):
+    """subtiles > 1 splits the row block into independent LN->MXU->gelu->MXU
+    chains so Mosaic's scheduler can overlap sub-chain i's VPU gelu with
+    sub-chain i+1's MXU matmul (the serialized VPU prologue/gelu is why the
+    single-chain kernel loses to XLA's pipelined fusions e2e)."""
+    for i in range(subtiles):
+        rows = pl.ds(i * (x_ref.shape[1] // subtiles),
+                     x_ref.shape[1] // subtiles)
+        x = x_ref[0, rows]                        # (bn/S, C) input dtype
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+        h = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        h = h * s_ref[0].astype(jnp.float32) + t_ref[0].astype(jnp.float32)
+        g = jax.lax.dot_general(
+            h.astype(x.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0].astype(jnp.float32)         # (bn/S, 8C')
+        half = g.shape[-1] // 2
+        u = g[:, :half] * jax.nn.gelu(g[:, half:], approximate=True)
+        y = jax.lax.dot_general(
+            u.astype(x.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0].astype(jnp.float32)
+        o_ref[0, rows] = (x32 + y).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "block_rows", "interpret", "force_pallas"))
+    jax.jit, static_argnames=("eps", "block_rows", "interpret", "force_pallas",
+                              "subtiles"))
 def fused_ln_geglu_ff(
     x: jnp.ndarray,         # (B, N, C)
     ln_scale: jnp.ndarray,  # (C,)
@@ -82,6 +90,7 @@ def fused_ln_geglu_ff(
     block_rows: int = 256,
     interpret: bool = False,
     force_pallas: bool = False,
+    subtiles: int = 1,
 ) -> jnp.ndarray:
     """y = x + FF_geglu(LN(x)); one kernel on TPU, jnp composition elsewhere."""
     if not (force_pallas or jax.default_backend() == "tpu"):
@@ -103,7 +112,7 @@ def fused_ln_geglu_ff(
     grid = (b, (n + pad) // bn)
 
     out = pl.pallas_call(
-        functools.partial(_ff_kernel, eps=eps),
+        functools.partial(_ff_kernel, eps=eps, subtiles=subtiles),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bn, c), lambda bi, i: (bi, i, 0)),
