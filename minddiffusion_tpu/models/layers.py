@@ -127,14 +127,18 @@ def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = 
 class Conv3x3Params(nn.Module):
     """Declares WinoConv3x3/nn.Conv's {kernel, bias} without computing —
     for code paths that drive the conv functionally (split-concat resblocks,
-    fused upsample+conv) while keeping the checkpoint tree identical."""
+    fused upsample+conv, chained merged resblock convs) while keeping the
+    checkpoint tree identical."""
 
     in_ch: int
     out_ch: int
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        k = self.param("kernel", init,
                        (3, 3, self.in_ch, self.out_ch), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,),
                        jnp.float32)
@@ -194,7 +198,8 @@ def wino_route(h: int, w: int, c_in: int, c_out: int) -> bool:
 
 def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
                      dtype: Dtype, u: Optional[jnp.ndarray] = None,
-                     gn: Optional[tuple] = None) -> jnp.ndarray:
+                     gn: Optional[tuple] = None, merge_out: bool = False,
+                     in_dims: Optional[tuple] = None) -> jnp.ndarray:
     """Functional 3x3 same-pad conv with the winograd/XLA shape dispatch used
     by WinoConv3x3 (shared by the split-concat resblock path). `u` is the
     hoisted weight transform (inference only — that path skips the AD
@@ -204,10 +209,19 @@ def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.nda
     per-(batch, channel) affine — the conv input becomes silu(x*mult + add).
     On the winograd inference path the fold runs IN-KERNEL (no normalized
     activation materialized in HBM); every other path applies it elementwise
-    first (identical math, fp32 silu)."""
+    first (identical math, fp32 silu).
+
+    `merge_out` / `in_dims`: chained-resblock merged I/O (A-form, see
+    ops/winograd). Callers may only pass these when the call is guaranteed
+    to take the hoisted-u winograd kernel path (u + gn present, shape routes
+    to the kernel) — there is no fallback for a pre-merged input."""
     from minddiffusion_tpu.ops import winograd
 
-    _, h, w, c = x.shape
+    if in_dims is not None:
+        h, w = in_dims
+        c = x.shape[-1] // 2
+    else:
+        _, h, w, c = x.shape
     features = kernel.shape[-1]
     use_wino = wino_route(h, w, c, features)
     x = x.astype(dtype)
@@ -216,8 +230,13 @@ def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.nda
     if use_wino and u is not None:
         if gn is not None:
             return winograd.conv3x3_winograd(x, kernel.astype(dtype), bias,
-                                             u=u, gn_mult=gn[0], gn_add=gn[1])
+                                             u=u, gn_mult=gn[0], gn_add=gn[1],
+                                             out_merged=merge_out,
+                                             in_dims=in_dims)
+        assert not merge_out and in_dims is None
         return winograd.conv3x3_winograd(x, kernel.astype(dtype), bias, u=u)
+    assert not merge_out and in_dims is None, \
+        "merged-chain conv requires the winograd kernel path"
     if gn is not None:
         xf = x.astype(jnp.float32) * gn[0][:, None, None, :] \
             + gn[1][:, None, None, :]

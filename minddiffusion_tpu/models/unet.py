@@ -43,6 +43,7 @@ from minddiffusion_tpu.models.layers import (
     nearest_upsample_2x,
     timestep_embedding,
 )
+from minddiffusion_tpu.ops.winograd import merged_channel_sums, wino_chain_ok
 
 Dtype = Any
 
@@ -158,6 +159,41 @@ def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5):
     return mult, add
 
 
+def _gn_affine_from_sums(s1, s2, n_spatial, scale, bias, num_groups=32,
+                         eps=1e-5, emb=None):
+    """_gn_affine from precomputed per-channel spatial sums (s1, s2) — for
+    merged-chain resblocks where the conv_in output stays in winograd A-form
+    (ops/winograd.merged_channel_sums) and is never un-merged.
+
+    `emb` (B, C): analytic pre-norm embedding add. The stored tensor is h,
+    but the normalized quantity is (h + e): moments shift by
+    s1' = s1 + n*e, s2' = s2 + 2*e*s1 + n*e², and the returned affine folds
+    e so that silu((h+e-mu')*inv'*gamma + beta) == silu(h*mult + add) —
+    the h+e tensor is never materialized (the unfused path pays a full
+    bf16 HBM round-trip for it)."""
+    c = s1.shape[-1]
+    groups = num_groups
+    while c % groups:
+        groups -= 1
+    gs = c // groups
+    b = s1.shape[0]
+    if emb is not None:
+        e = emb.astype(jnp.float32)
+        s2 = s2 + 2.0 * e * s1 + n_spatial * e * e
+        s1 = s1 + n_spatial * e
+    n = n_spatial * gs
+    mu_g = s1.reshape(b, groups, gs).sum(-1) / n
+    ex2_g = s2.reshape(b, groups, gs).sum(-1) / n
+    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
+    mu_c = jnp.repeat(mu_g, gs, axis=-1)
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)
+    mult = inv_c * scale[None]
+    add = bias[None] - mu_c * mult
+    if emb is not None:
+        add = add + emb.astype(jnp.float32) * mult
+    return mult, add
+
+
 def _split_gn_affine(parts, scale, bias, num_groups=32, eps=1e-5):
     """_gn_affine over the channel-concat of `parts` WITHOUT materializing the
     concat (split-concat resblocks): group moments from per-part partial
@@ -244,10 +280,31 @@ class ResBlock(nn.Module):
         fuse_in = (not self.up and not self.down
                    and wino_route(x.shape[1], x.shape[2], in_ch,
                                   self.out_channels))
+        chain = (fuse_in
+                 and wino_route(x.shape[1], x.shape[2], self.out_channels,
+                                self.out_channels)
+                 and wino_chain_ok(x.shape[1], x.shape[2], self.out_channels))
+        h_m = None
         if fuse_in:
             gs_, gb_ = _GN32Params(in_ch, name="norm_in")()
-            h = conv3x3(self.out_channels, self.dtype, name="conv_in")(
-                x, gn=_gn_affine(x, gs_, gb_))
+            ga = _gn_affine(x, gs_, gb_)
+            if chain:
+                # merged conv_in -> conv_out chain: conv_in emits winograd
+                # A-form, which conv_out consumes directly — no un-merge,
+                # re-pad, or re-merge HBM passes between the two convs
+                # (~3 formatting passes per resblock otherwise)
+                k_in, b_in = Conv3x3Params(in_ch, self.out_channels,
+                                           name="conv_in")()
+                u_in = hoisted_wino_u(self, "conv_in_u", k_in, x,
+                                      self.out_channels, self.dtype)
+                if u_in is not None:
+                    h_m = conv3x3_dispatch(x, k_in, b_in, self.dtype, u=u_in,
+                                           gn=ga, merge_out=True)
+                else:
+                    h = conv3x3_dispatch(x, k_in, b_in, self.dtype, gn=ga)
+            else:
+                h = conv3x3(self.out_channels, self.dtype, name="conv_in")(
+                    x, gn=ga)
         else:
             h = GroupNorm32(name="norm_in")(x)
             h = nn.silu(h)
@@ -258,50 +315,80 @@ class ResBlock(nn.Module):
                 h = avg_pool_2x(h)
                 x = avg_pool_2x(x)
             h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
-        if os.environ.get("MDT_GN_BARRIER", "0") == "1":
+        if h_m is None and os.environ.get("MDT_GN_BARRIER", "0") == "1":
             # keep the GroupNorm stat-reduce OUT of the conv fusion: fused
             # convert_reduce convs run ~141T vs ~184T for plain conv+add
             # fusions (xprof); the extra activation read is cheaper. Opt-in
             # experiment flag.
             h = jax.lax.optimization_barrier(h)
 
-        emb_out = dense(
-            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
-            self.dtype, name="emb_proj",
-        )(nn.silu(emb))
-        emb_out = emb_out[:, None, None, :]
-
-        fuse_out = wino_route(h.shape[1], h.shape[2], self.out_channels,
-                              self.out_channels)
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            if fuse_out:
-                gs2, gb2 = _GN32Params(self.out_channels, name="norm_out")()
-                m0, a0 = _gn_affine(h, gs2, gb2)
-                s_ = 1.0 + scale[:, 0, 0, :].astype(jnp.float32)
-                sh_ = shift[:, 0, 0, :].astype(jnp.float32)
-                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
-                            name="conv_out")(h, gn=(m0 * s_, a0 * s_ + sh_))
-            else:
-                h = GroupNorm32(name="norm_out")(h) * (1.0 + scale) + shift
-                h = nn.silu(h)
-                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
-                            name="conv_out")(h)
-        else:
-            h = h + emb_out
-            if fuse_out:
-                gs2, gb2 = _GN32Params(self.out_channels, name="norm_out")()
-                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
-                            name="conv_out")(h, gn=_gn_affine(h, gs2, gb2))
-            else:
-                h = GroupNorm32(name="norm_out")(h)
-                h = nn.silu(h)
-                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
-                            name="conv_out")(h)
+        h = self._emb_norm_conv_out(h_m if h_m is not None else h,
+                                    h_m is not None, emb,
+                                    x.shape[1], x.shape[2])
 
         if in_ch != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
         return x + h
+
+    def _emb_norm_conv_out(self, h, merged: bool, emb: jnp.ndarray,
+                           hh: int, ww: int) -> jnp.ndarray:
+        """Shared t-emb + norm_out + conv_out tail (__call__ and the split
+        path). `merged`: h is the conv_in winograd A-form — GN moments come
+        from merged_channel_sums, the embedding add is folded analytically
+        into the affine (never materialized), and conv_out reads the merged
+        form in place (ops/winograd in_dims path)."""
+        co = self.out_channels
+        emb_out = dense(2 * co if self.use_scale_shift_norm else co,
+                        self.dtype, name="emb_proj")(nn.silu(emb))
+        if merged:
+            s1, s2 = merged_channel_sums(h, co)
+            gs2, gb2 = _GN32Params(co, name="norm_out")()
+            k_out, b_out = Conv3x3Params(co, co, zero_init=True,
+                                         name="conv_out")()
+            u_out = hoisted_wino_u(self, "conv_out_u", k_out,
+                                   jnp.zeros((1, hh, ww, 1)), co, self.dtype)
+            assert u_out is not None, \
+                "merged chain requires the hoisted-u capture regime"
+            n_sp = hh * ww
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                m0, a0 = _gn_affine_from_sums(s1, s2, n_sp, gs2, gb2)
+                s_ = 1.0 + scale.astype(jnp.float32)
+                gn_oa = (m0 * s_, a0 * s_ + shift.astype(jnp.float32))
+            else:
+                gn_oa = _gn_affine_from_sums(s1, s2, n_sp, gs2, gb2,
+                                             emb=emb_out)
+            return conv3x3_dispatch(h, k_out, b_out, self.dtype, u=u_out,
+                                    gn=gn_oa, in_dims=(hh, ww))
+
+        emb_out = emb_out[:, None, None, :]
+        fuse_out = wino_route(hh, ww, co, co)
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            if fuse_out:
+                gs2, gb2 = _GN32Params(co, name="norm_out")()
+                m0, a0 = _gn_affine(h, gs2, gb2)
+                s_ = 1.0 + scale[:, 0, 0, :].astype(jnp.float32)
+                sh_ = shift[:, 0, 0, :].astype(jnp.float32)
+                h = conv3x3(co, self.dtype, zero_init=True,
+                            name="conv_out")(h, gn=(m0 * s_, a0 * s_ + sh_))
+            else:
+                h = GroupNorm32(name="norm_out")(h) * (1.0 + scale) + shift
+                h = nn.silu(h)
+                h = conv3x3(co, self.dtype, zero_init=True,
+                            name="conv_out")(h)
+        else:
+            h = h + emb_out
+            if fuse_out:
+                gs2, gb2 = _GN32Params(co, name="norm_out")()
+                h = conv3x3(co, self.dtype, zero_init=True,
+                            name="conv_out")(h, gn=_gn_affine(h, gs2, gb2))
+            else:
+                h = GroupNorm32(name="norm_out")(h)
+                h = nn.silu(h)
+                h = conv3x3(co, self.dtype, zero_init=True,
+                            name="conv_out")(h)
+        return h
 
     def _call_split(self, x: jnp.ndarray, skip: jnp.ndarray,
                     emb: jnp.ndarray) -> jnp.ndarray:
@@ -346,6 +433,33 @@ class ResBlock(nn.Module):
                             self.out_channels, self.dtype)
         u1 = hoisted_wino_u(self, "conv_in_u1", k_in[:, :, cx:], hs,
                             self.out_channels, self.dtype)
+        # merged chain needs BOTH halves on the kernel path (their A-form
+        # outputs sum elementwise into one merged tensor for conv_out)
+        chain = (fuse_in and u0 is not None and u1 is not None
+                 and gn0 is not None and gn1 is not None
+                 and wino_route(x.shape[1], x.shape[2], cx,
+                                self.out_channels)
+                 and wino_route(x.shape[1], x.shape[2], skip.shape[-1],
+                                self.out_channels)
+                 and wino_route(x.shape[1], x.shape[2], self.out_channels,
+                                self.out_channels)
+                 and wino_chain_ok(x.shape[1], x.shape[2],
+                                   self.out_channels))
+        if chain:
+            h_m = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype,
+                                    u=u0, gn=gn0, merge_out=True)
+                   + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype,
+                                      u=u1, gn=gn1, merge_out=True))
+            h = self._emb_norm_conv_out(h_m, True, emb,
+                                        x.shape[1], x.shape[2])
+            k_sk, b_sk = _Conv1x1Params(in_ch, self.out_channels,
+                                        name="skip")()
+            res = (jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype),
+                              k_sk[0, 0, :cx].astype(self.dtype))
+                   + jnp.einsum("bhwc,cd->bhwd", skip.astype(self.dtype),
+                                k_sk[0, 0, cx:].astype(self.dtype))
+                   + b_sk.astype(self.dtype))
+            return res + h
         h = (conv3x3_dispatch(hx, k_in[:, :, :cx], b_in, self.dtype, u=u0,
                               gn=gn0)
              + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype, u=u1,

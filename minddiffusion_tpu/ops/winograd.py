@@ -73,10 +73,18 @@ def _wino_kernel(x_ref, u_ref, b_ref, o_ref, *, bh: int, width: int,
 def _wino_kernel_dma_gn(x_any, u_ref, b_ref, m_ref, a_ref, cm_ref, o_ref,
                         xs_ref, sems, *, bh: int, width: int, cp: int,
                         c_out: int, n_tiles: int, total: int, h: int,
-                        fp32_transform: bool):
+                        fp32_transform: bool, premerged: bool = False,
+                        wcols_out: int = 0):
     """DMA variant with the fused GroupNorm+SiLU prologue (see _wino_compute).
     m_ref/a_ref: (B, 2cp) fp32 per-batch affine rows; cm_ref: (wcols, 2cp)
-    {0,1} interior-column mask."""
+    {0,1} interior-column mask.
+
+    `premerged`: x_any is an UNPADDED merged array (B, H, wcols, 2cp) — the
+    previous wino conv's A-form output (resblock conv chains). The window
+    copies into scratch rows [1, h+1); the halo rows 0 and h+1 hold stale
+    scratch garbage that the gn row mask zeroes before any math (so no
+    memset is needed). Requires n_tiles == 1 (no interior row halos exist
+    without a host pad)."""
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     idx = bi * n_tiles + ti
@@ -84,6 +92,9 @@ def _wino_kernel_dma_gn(x_any, u_ref, b_ref, m_ref, a_ref, cm_ref, o_ref,
     def dma(i_lin, slot):
         tbi = jax.lax.div(i_lin, n_tiles)
         tti = jax.lax.rem(i_lin, n_tiles)
+        if premerged:
+            return pltpu.make_async_copy(
+                x_any.at[tbi], xs_ref.at[slot, pl.ds(1, bh)], sems.at[slot])
         return pltpu.make_async_copy(
             x_any.at[tbi, pl.ds(tti * bh, bh + 2)],
             xs_ref.at[slot], sems.at[slot])
@@ -101,7 +112,8 @@ def _wino_kernel_dma_gn(x_any, u_ref, b_ref, m_ref, a_ref, cm_ref, o_ref,
     dma(idx, slot).wait()
     gn = (m_ref[bi], a_ref[bi], cm_ref[...], ti * bh, h)
     _wino_compute(xs_ref[slot], u_ref, b_ref, o_ref, bh=bh, width=width,
-                  cp=cp, c_out=c_out, fp32_transform=fp32_transform, gn=gn)
+                  cp=cp, c_out=c_out, fp32_transform=fp32_transform, gn=gn,
+                  wcols_out=wcols_out)
 
 
 def _wino_kernel_dma(x_any, u_ref, b_ref, o_ref, xs_ref, sems, *, bh: int,
@@ -142,7 +154,7 @@ def _wino_kernel_dma(x_any, u_ref, b_ref, o_ref, xs_ref, sems, *, bh: int,
 
 def _wino_compute(q, u_ref, b_ref, o_ref, *, bh: int, width: int,
                   cp: int, c_out: int, fp32_transform: bool,
-                  gn: Optional[tuple] = None):
+                  gn: Optional[tuple] = None, wcols_out: int = 0):
     """Shared transform-matmul-inverse body. q: (bh+2, (W+4)/2, 2cp).
 
     `gn` = (mult_row, add_row, col_mask, row_lo, h) fuses the GroupNorm+SiLU
@@ -215,14 +227,54 @@ def _wino_compute(q, u_ref, b_ref, o_ref, *, bh: int, width: int,
     # interleave even/odd output rows on the (free) leading axis: no strided
     # ref stores on TPU
     full = jnp.stack(rows, axis=1).reshape(bh, tx, 2 * c_out)
+    if wcols_out:
+        # A-form merged store for a chained next wino conv: group g holds
+        # (col 2g-1 | col 2g) in its lane halves — exactly the kernel's own
+        # expected input convention, left halo (col -1) and right alignment
+        # pads zeroed. full[..., :co] = col 2j (B-even), full[..., co:] =
+        # col 2j+1 (B-odd); A-even-half shifts the B-odd lanes one group
+        # right. All concats are plain sublane/lane VMEM copies.
+        z = lambda g: jnp.zeros((bh, g, c_out), o_ref.dtype)
+        half1 = jnp.concatenate(
+            [z(1), full[:, :, c_out:]] + ([z(wcols_out - tx - 1)]
+                                          if wcols_out > tx + 1 else []),
+            axis=1)
+        half2 = jnp.concatenate(
+            [full[:, :, :c_out]] + ([z(wcols_out - tx)]
+                                    if wcols_out > tx else []), axis=1)
+        o_ref[0] = jnp.concatenate([half1, half2], axis=-1)
+        return
     o_ref[0] = full
+
+
+def wino_chain_ok(h: int, w: int, c_mid: int) -> bool:
+    """Whether a resblock conv_in -> conv_out pair at this shape can chain
+    through the merged A-form (premerged input needs a single row tile —
+    h <= the default block_rows — and 128-aligned mid channels)."""
+    import os
+
+    return (os.environ.get("MDT_WINO_CHAIN", "1") != "0"
+            and h % 2 == 0 and w % 2 == 0 and h <= 32 and c_mid % 128 == 0)
+
+
+def merged_channel_sums(h_m: jnp.ndarray, c: int):
+    """Per-channel spatial sums (s1, s2) of an A-form merged array
+    (B, H, wcols, 2*cp): channel k lives in lanes k and cp+k; halo/pad
+    positions are exact zeros (the merged store writes them), so plain sums
+    over (rows, groups) give the true spatial sums. Feeds GN-stat folds for
+    chained wino convs without un-merging the activation."""
+    x32 = h_m.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=(1, 2))
+    s2 = jnp.sum(x32 * x32, axis=(1, 2))
+    cp = h_m.shape[-1] // 2
+    return s1[:, :c] + s1[:, cp:cp + c], s2[:, :c] + s2[:, cp:cp + c]
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_rows", "fp32_transform", "interpret",
-                              "dma"))
+                              "dma", "out_merged", "in_dims"))
 def conv3x3_winograd(
-    x: jnp.ndarray,        # (B, H, W, C_in)
+    x: jnp.ndarray,        # (B, H, W, C_in); A-form (B, H, wcols, 2C_in) with in_dims
     kernel: jnp.ndarray,   # (3, 3, C_in, C_out) HWIO
     bias: Optional[jnp.ndarray] = None,
     u: Optional[jnp.ndarray] = None,   # hoisted (16, C_in, C_out) transform
@@ -232,6 +284,8 @@ def conv3x3_winograd(
     fp32_transform: bool = True,
     interpret: bool = False,
     dma: Optional[bool] = None,
+    out_merged: bool = False,
+    in_dims: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """3x3 stride-1 same-pad conv via Winograd F(2x2,3x3). H and W even.
 
@@ -252,7 +306,13 @@ def conv3x3_winograd(
     """
     import os
 
-    b, h, w, c_in = x.shape
+    premerged = in_dims is not None
+    if premerged:
+        h, w = in_dims
+        b = x.shape[0]
+        c_in = x.shape[-1] // 2
+    else:
+        b, h, w, c_in = x.shape
     c_out = kernel.shape[-1]
     dtype = x.dtype
     assert h % 2 == 0 and w % 2 == 0, (h, w)
@@ -261,6 +321,16 @@ def conv3x3_winograd(
     if dma is None:
         dma = os.environ.get("MDT_WINO_DMA", "1") != "0"
     has_gn = gn_mult is not None
+    if premerged:
+        # A-form chained input: only the masked in-kernel prologue can zero
+        # the halo/pad positions, so this path is DMA+GN only; and without a
+        # host pad there are no interior row halos, so one row tile only.
+        assert dma and has_gn, "premerged input requires the DMA+GN path"
+        assert c_in % 128 == 0, c_in
+        assert h <= block_rows and h % 2 == 0, (h, block_rows)
+    if out_merged:
+        assert dma and has_gn, "merged output requires the DMA+GN path"
+        assert h <= block_rows, (h, block_rows)
     if has_gn and not dma:
         # no in-kernel masking on the gather path: fold on the host instead
         xf = x.astype(jnp.float32) * gn_mult[:, None, None, :] \
@@ -280,13 +350,16 @@ def conv3x3_winograd(
         # the async halo-window copy requires the (second-minor) column-pair
         # dim 8-aligned ("slice shape must be aligned to tiling")
         wcols = _round_up(wcols, 8)
+    if premerged:
+        assert x.shape == (b, h, wcols, 2 * cp), (x.shape, (b, h, wcols, 2 * cp))
 
     # C padded so the even/odd lane-merge keeps 128-aligned halves. W padded
     # so the whole tile lane-merges with a contiguous reshape — no
     # sliced/shifted copies (the kernel takes its +1-group shifted views
-    # from the untiled middle dim).
-    xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, 2 * wcols - w - 1),
-                     (0, cp - c_in)))
+    # from the untiled middle dim). Skipped entirely for premerged input.
+    if not premerged:
+        xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, 2 * wcols - w - 1),
+                         (0, cp - c_in)))
 
     if u is None:
         u = transform_weights(kernel)               # (16, C_in, Co)
@@ -295,7 +368,10 @@ def conv3x3_winograd(
         u = jnp.pad(u, ((0, 0), (0, cp - c_in), (0, 0)))
 
     if dma:
-        x_m = xp.reshape(b, hp + 2, wcols, 2 * cp)  # lane-merge (one pass)
+        if premerged:
+            x_m = x                                 # already A-form merged
+        else:
+            x_m = xp.reshape(b, hp + 2, wcols, 2 * cp)  # lane-merge (one pass)
         gn_ops = None
         if has_gn:
             mp_ = jnp.pad(gn_mult.astype(jnp.float32), ((0, 0), (0, cp - c_in)))
@@ -313,7 +389,13 @@ def conv3x3_winograd(
                                bh=bh, n_tiles=n_tiles, wcols=wcols, cp=cp,
                                c_out=c_out, dtype=dtype,
                                fp32_transform=fp32_transform,
-                               interpret=interpret)
+                               interpret=interpret, premerged=premerged,
+                               wcols_out=wcols if out_merged else 0)
+        if out_merged:
+            # A-form (B, H, wcols, 2*C_out): feed to the next chained wino
+            # conv via in_dims=(h, w); stats/sums read it directly (pads are
+            # exact zeros)
+            return out
     else:
         row_idx = (jnp.arange(n_tiles)[:, None] * bh
                    + jnp.arange(bh + 2)[None, :])   # (n_tiles, bh+2)
@@ -329,14 +411,17 @@ def conv3x3_winograd(
 
 
 def _wino_pallas_dma(x_m, u, bias, gn_ops, *, b, h, hp, w, bh, n_tiles,
-                     wcols, cp, c_out, dtype, fp32_transform, interpret):
+                     wcols, cp, c_out, dtype, fp32_transform, interpret,
+                     premerged=False, wcols_out=0):
     has_gn = gn_ops is not None
     if has_gn:
         kernel = functools.partial(
             _wino_kernel_dma_gn, bh=bh, width=w, cp=cp, c_out=c_out,
             n_tiles=n_tiles, total=b * n_tiles, h=h,
-            fp32_transform=fp32_transform)
+            fp32_transform=fp32_transform, premerged=premerged,
+            wcols_out=wcols_out)
     else:
+        assert not premerged and not wcols_out
         kernel = functools.partial(
             _wino_kernel_dma, bh=bh, width=w, cp=cp, c_out=c_out,
             n_tiles=n_tiles, total=b * n_tiles,
@@ -351,13 +436,14 @@ def _wino_pallas_dma(x_m, u, bias, gn_ops, *, b, h, hp, w, bh, n_tiles,
     args = [x_m, u, bias.reshape(1, c_out).astype(jnp.float32)]
     if has_gn:
         args += list(gn_ops)
+    ocols = wcols_out if wcols_out else w // 2
     return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bh, w // 2, 2 * c_out),
+        out_specs=pl.BlockSpec((1, bh, ocols, 2 * c_out),
                                lambda bi, i: (bi, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hp, w // 2, 2 * c_out), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hp, ocols, 2 * c_out), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, bh + 2, wcols, 2 * cp), dtype),
             pltpu.SemaphoreType.DMA((2,)),

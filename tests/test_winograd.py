@@ -221,3 +221,113 @@ def test_resblock_fused_gn_prologue_matches_module_path(monkeypatch):
             np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                        rtol=3e-4, atol=3e-4)
     monkeypatch.undo()
+
+
+def test_winograd_merged_chain_matches_composition():
+    """conv1(out_merged) -> stats on the A-form -> conv2(premerged) must
+    equal the plain conv -> GN-affine -> silu -> conv composition (the
+    resblock conv_in/conv_out chain that skips all host formatting passes)."""
+    key = jax.random.split(jax.random.PRNGKey(7), 8)
+    b, h, w, c = 2, 16, 16, 128
+    x = jax.random.normal(key[0], (b, h, w, c), jnp.float32)
+    k1 = jax.random.normal(key[1], (3, 3, c, c), jnp.float32) * 0.05
+    b1 = jax.random.normal(key[2], (c,), jnp.float32) * 0.1
+    k2 = jax.random.normal(key[3], (3, 3, c, c), jnp.float32) * 0.05
+    b2 = jax.random.normal(key[4], (c,), jnp.float32) * 0.1
+    m1 = jax.random.normal(key[5], (b, c), jnp.float32) * 0.2 + 1.0
+    a1 = jax.random.normal(key[6], (b, c), jnp.float32) * 0.2
+    m2 = jax.random.normal(key[7], (b, c), jnp.float32) * 0.2 + 1.0
+    a2 = jnp.zeros((b, c), jnp.float32) + 0.1
+
+    def direct(x_, k_, b_):
+        y = jax.lax.conv_general_dilated(
+            x_, k_, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b_
+
+    def silu_affine(x_, m_, a_):
+        f = x_ * m_[:, None, None, :] + a_[:, None, None, :]
+        return f * jax.nn.sigmoid(f)
+
+    ref_h = direct(silu_affine(x, m1, a1), k1, b1)
+    ref = direct(silu_affine(ref_h, m2, a2), k2, b2)
+
+    h_m = conv3x3_winograd(x, k1, b1, gn_mult=m1, gn_add=a1, dma=True,
+                           interpret=True, out_merged=True)
+    wcols = (w + 4) // 2
+    wcols += (-wcols) % 8
+    assert h_m.shape == (b, h, wcols, 2 * c), h_m.shape
+
+    # A-form geometry: group g holds (col 2g-1 | col 2g); pads exact zero
+    unmerged = np.zeros((b, h, w, c), np.float32)
+    hm_np = np.asarray(h_m)
+    for g in range(wcols):
+        if 2 * g - 1 >= 0 and 2 * g - 1 < w:
+            unmerged[:, :, 2 * g - 1] = hm_np[:, :, g, :c]
+        if 2 * g < w:
+            unmerged[:, :, 2 * g] = hm_np[:, :, g, c:]
+    np.testing.assert_allclose(unmerged, np.asarray(ref_h), rtol=2e-4, atol=2e-4)
+    # halo group 0 even-half and right pads must be exactly zero
+    assert np.array_equal(hm_np[:, :, 0, :c], np.zeros((b, h, c), np.float32))
+    assert np.array_equal(hm_np[:, :, w // 2 + 1:, c:], 
+                          np.zeros((b, h, wcols - w // 2 - 1, c), np.float32))
+
+    # per-channel sums from the merged form == sums of the unmerged oracle
+    from minddiffusion_tpu.ops.winograd import merged_channel_sums
+
+    s1, s2 = merged_channel_sums(h_m, c)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(ref_h).sum((1, 2)),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(s2), (np.asarray(ref_h) ** 2).sum((1, 2)),
+        rtol=1e-3, atol=1e-3)
+
+    out = conv3x3_winograd(h_m, k2, b2, gn_mult=m2, gn_add=a2, dma=True,
+                           interpret=True, in_dims=(h, w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_resblock_merged_chain_matches_module_path(monkeypatch):
+    """Full ResBlock with the merged conv_in->conv_out chain (A-form between
+    the convs, analytic emb fold, premerged conv_out) vs the plain module
+    path. Chain engages only under the hoisted-u capture regime, mirroring
+    the inference pipelines' capture->feed pattern."""
+    from minddiffusion_tpu.models import layers
+    from minddiffusion_tpu.models.unet import ResBlock
+    from minddiffusion_tpu.ops import winograd
+
+    real = winograd.conv3x3_winograd
+
+    def interp(x, kernel, bias=None, u=None, gn_mult=None, gn_add=None, **kw):
+        kw["interpret"] = True
+        return real(x, kernel, bias, u, gn_mult, gn_add, **kw)
+
+    monkeypatch.setattr(winograd, "conv3x3_winograd", interp)
+    monkeypatch.setattr(winograd, "conv3x3_winograd_ad", interp)
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    x = jax.random.normal(ks[0], (2, 16, 16, 128))
+    skip = jax.random.normal(ks[3], (2, 16, 16, 128))
+    emb = jax.random.normal(ks[1], (2, 16))
+    for use_ssn in (False, True):
+        for use_skip in (False, True):
+            block = ResBlock(out_channels=128, use_scale_shift_norm=use_ssn)
+            args = (x, emb, skip) if use_skip else (x, emb)
+            p = block.init(ks[2], *args)
+            base = block.apply(p, *args)          # module GN path (no wino)
+            monkeypatch.setattr(layers, "wino_route",
+                                lambda h, w, ci, co: h % 2 == 0 and w % 2 == 0)
+            # capture pass (computes hoisted U, engages the chain) ...
+            chained, cap = block.apply(p, *args, mutable=["wino_u"])
+            assert "wino_u" in cap and len(jax.tree.leaves(cap["wino_u"])) >= 2
+            # ... then the feed-back pass the sampler scan uses
+            chained2 = block.apply({**p, **cap}, *args)
+            monkeypatch.setattr(layers, "wino_route",
+                                lambda h, w, ci, co: False)
+            np.testing.assert_allclose(np.asarray(chained), np.asarray(base),
+                                       rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(chained2),
+                                       np.asarray(chained), rtol=1e-6,
+                                       atol=1e-6)
+    monkeypatch.undo()
