@@ -254,7 +254,7 @@ def wino_chain_ok(h: int, w: int, c_mid: int) -> bool:
     import os
 
     return (os.environ.get("MDT_WINO_CHAIN", "1") != "0"
-            and h % 2 == 0 and w % 2 == 0 and h <= 32 and c_mid % 128 == 0)
+            and h % 2 == 0 and w % 2 == 0 and h <= 48 and c_mid % 128 == 0)
 
 
 def merged_channel_sums(h_m: jnp.ndarray, c: int):
@@ -321,10 +321,15 @@ def conv3x3_winograd(
     if dma is None:
         dma = os.environ.get("MDT_WINO_DMA", "1") != "0"
     has_gn = gn_mult is not None
+    if premerged or out_merged:
+        # merged-chain I/O needs a SINGLE row tile (a premerged array has no
+        # interior row halos, and the A-form store indexes one tile) — widen
+        # the row block to the full height (h <= 48 per wino_chain_ok keeps
+        # the scratch footprint small)
+        block_rows = max(block_rows, h)
     if premerged:
         # A-form chained input: only the masked in-kernel prologue can zero
-        # the halo/pad positions, so this path is DMA+GN only; and without a
-        # host pad there are no interior row halos, so one row tile only.
+        # the halo/pad positions, so this path is DMA+GN only.
         assert dma and has_gn, "premerged input requires the DMA+GN path"
         assert c_in % 128 == 0, c_in
         assert h <= block_rows and h % 2 == 0, (h, block_rows)
