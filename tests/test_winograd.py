@@ -223,12 +223,15 @@ def test_resblock_fused_gn_prologue_matches_module_path(monkeypatch):
     monkeypatch.undo()
 
 
-def test_winograd_merged_chain_matches_composition():
+@pytest.mark.parametrize("h,w", [(16, 16), (48, 16)])
+def test_winograd_merged_chain_matches_composition(h, w):
     """conv1(out_merged) -> stats on the A-form -> conv2(premerged) must
     equal the plain conv -> GN-affine -> silu -> conv composition (the
-    resblock conv_in/conv_out chain that skips all host formatting passes)."""
+    resblock conv_in/conv_out chain that skips all host formatting passes).
+    (48, 16) exercises the widened single-tile block_rows path used by the
+    768^2 configs' 48-row sites."""
     key = jax.random.split(jax.random.PRNGKey(7), 8)
-    b, h, w, c = 2, 16, 16, 128
+    b, c = 2, 128
     x = jax.random.normal(key[0], (b, h, w, c), jnp.float32)
     k1 = jax.random.normal(key[1], (3, 3, c, c), jnp.float32) * 0.05
     b1 = jax.random.normal(key[2], (c,), jnp.float32) * 0.1
