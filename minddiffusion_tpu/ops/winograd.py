@@ -510,8 +510,11 @@ def wino_wins(h: int, w: int, c_in: int, c_out: int) -> bool:
     cp = _round_up(c_in, 128)
     weight_vmem = 16 * cp * c_out * 2          # bf16 U, grid-resident
     c_min = int(os.environ.get("MDT_WINO_CMIN", "512"))  # A/B knob
+    h_max = int(os.environ.get("MDT_WINO_HMAX", "48"))   # A/B knob: the early
+    # kernel (host-pad halo, redundant shifted tile) lost at 64²x320; the
+    # DMA/no-xs kernel may not — MDT_WINO_HMAX=64 MDT_WINO_CMIN=320 re-tests
     return (h % 2 == 0 and w % 2 == 0
-            and 12 <= min(h, w) <= 48 and c_in >= c_min
+            and 12 <= min(h, w) <= h_max and c_in >= c_min
             and weight_vmem <= 56 * 1024 * 1024)
 
 
