@@ -75,6 +75,18 @@ def test_wino_shape_rule():
     assert not wino_wins(16, 16, 2560, 1280)     # skip-concat conv: VMEM cap
 
 
+def test_wino_shape_rule_env_overrides(monkeypatch):
+    from minddiffusion_tpu.ops.winograd import wino_wins
+
+    monkeypatch.setenv("MDT_WINO_HMAX", "64")
+    monkeypatch.setenv("MDT_WINO_CMIN", "320")
+    assert wino_wins(64, 64, 320, 320)           # ds1 re-test config
+    assert not wino_wins(128, 128, 320, 320)     # still bounded above
+    monkeypatch.delenv("MDT_WINO_HMAX")
+    monkeypatch.delenv("MDT_WINO_CMIN")
+    assert not wino_wins(64, 64, 320, 320)       # defaults unchanged
+
+
 def test_winograd_hoisted_u_matches_inline_transform():
     """conv3x3_winograd(u=...) (scan-hoisted weight transform) must equal the
     transform-inside path bit-for-bit."""
