@@ -79,3 +79,25 @@ def test_inpaint_requires_9ch(setup):
     models, _ = setup
     with pytest.raises(AssertionError):
         StableDiffusionPipeline(models).build_inpaint(height=64, width=64)
+
+
+def test_txt2img_on_serving_mesh(setup):
+    """Multi-chip serving path (build_txt2img(mesh=...)): the request batch is
+    split over the mesh's data axes, params replicated — the program must
+    compile, execute, and match the single-device result exactly for the same
+    key (GSPMD partitions the same math; fp32 tiny model is bitwise-stable)."""
+    from minddiffusion_tpu.parallel import mesh as mesh_lib
+
+    models, params = setup
+    pipe = StableDiffusionPipeline(models)
+    mesh = mesh_lib.make_mesh(mesh_lib.MeshConfig(dp=-1, fsdp=2, tp=1))
+    fn_mesh = pipe.build_txt2img(height=64, width=64, num_steps=4,
+                                 sampler="ddim", guidance_scale=7.5,
+                                 batch_size=8, mesh=mesh)
+    fn_single = pipe.build_txt2img(height=64, width=64, num_steps=4,
+                                   sampler="ddim", guidance_scale=7.5,
+                                   batch_size=8)
+    img_m = fn_mesh(params, tokens(8, 3), tokens(8, 0), jax.random.PRNGKey(1))
+    img_s = fn_single(params, tokens(8, 3), tokens(8, 0), jax.random.PRNGKey(1))
+    assert img_m.shape == (8, 64, 64, 3) and img_m.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_s))
