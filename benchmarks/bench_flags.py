@@ -44,11 +44,21 @@ VARIANTS: dict[str, dict[str, str]] = {
     "ilp_scheduler": {"xla_tpu_enable_ilp_latency_hiding_scheduler": "true"},
     "rwb_fusion": {"xla_tpu_rwb_fusion": "true"},
     "autotune_layouts": {"xla_tpu_autotune_layouts": "true"},
+    # wave 2 — run explicitly by name: bench_flags.py x8_conv lp_llo ...
+    "x8_conv": {"xla_tpu_fuse_non_trivial_x8_producers_into_conv_like": "true"},
+    "lp_llo": {"xla_tpu_consider_lp_llo_scheduler": "true"},
+    "copy_elision": {"xla_tpu_copy_elision_analysis_allowance": "100000"},
+    "copy_region": {"xla_tpu_copy_insertion_use_region_analysis": "true"},
+    "licm2": {"xla_tpu_licm_size_inflation_ratio": "2"},
+    "cond_motion": {"xla_tpu_conditional_code_motion_allowance": "100000"},
 }
+WAVE2 = ("x8_conv", "lp_llo", "copy_elision", "copy_region", "licm2",
+         "cond_motion")
 
 
 def main():
-    names = [a for a in sys.argv[1:] if not a.startswith("--")] or list(VARIANTS)
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        n for n in VARIANTS if n not in WAVE2]
     models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
                              attn_impl="pallas_fast")
     params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
