@@ -21,7 +21,8 @@ Design principles (see DESIGN.md):
     native heads-packed layout (ops/flash_attention.py).
 
 Package map: core/ (schedules, CFG, latents) · samplers/ · models/ · ops/ ·
-pipelines/ · text/ · train/ · parallel/ · data/ · io/ · cli/ · utils/.
+pipelines/ · text/ · train/ · parallel/ · data/ · io/ · cli/ · serving/ ·
+utils/.
 """
 
 __version__ = "0.2.0"

@@ -229,13 +229,22 @@ class StableDiffusionPipeline:
         m = self.models
         h8, w8 = height // m.latent_factor, width // m.latent_factor
 
-        def fn(params, tokens, uncond_tokens, key):
+        def fn(params, tokens, uncond_tokens, key, noise=None):
+            # `noise`: optional explicit x_T (B, h8, w8, 4) — serving engines
+            # pass per-request noise so a request's image is reproducible from
+            # its own seed regardless of how it was batched (serving/engine).
+            # None (the default, and every CLI/bench path) keeps the original
+            # draw-from-key program.
             tok2 = jnp.concatenate([uncond_tokens, tokens], axis=0)
             ctx2 = m.text_encoder.apply(params["text"], tok2)
             eps_fn = _make_eps_fn(m, params, ctx2, guidance_scale,
                                   sample_shape=(batch_size, h8, w8))
             key, knoise = jax.random.split(key)
-            x_T = jax.random.normal(knoise, (batch_size, h8, w8, 4), jnp.float32)
+            if noise is not None:
+                assert noise.shape == (batch_size, h8, w8, 4), (
+                    f"noise must be {(batch_size, h8, w8, 4)}, got {noise.shape}")
+            x_T = (jax.random.normal(knoise, (batch_size, h8, w8, 4), jnp.float32)
+                   if noise is None else noise.astype(jnp.float32))
             z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)
             img = m.vae.apply(params["vae"], latents.unscale_latents(z, m.scale_factor),
                               method=m.vae.decode)
@@ -252,8 +261,14 @@ class StableDiffusionPipeline:
 
         bsh = batch_sharding(mesh)
         repl = NamedSharding(mesh, P())
+        def fn_mesh(params, tokens, uncond_tokens, key):
+            # explicit-noise input is a single-chip serving feature; the mesh
+            # variant keeps the 4-arg surface so in_shardings stays a full
+            # prefix of the call args
+            return fn(params, tokens, uncond_tokens, key)
+
         return jax.jit(
-            fn,
+            fn_mesh,
             in_shardings=(repl, bsh, bsh, repl),
             out_shardings=bsh,
         )

@@ -1,0 +1,77 @@
+"""Minimal stdlib HTTP front end over serving.engine.BatchingEngine.
+
+POST /v1/txt2img   {"prompt": str, "negative_prompt": str?, "seed": int?}
+                   -> {"image_png_b64": str, "latency_ms": float, "seed": int}
+GET  /healthz      -> {"ok": true, "requests_served": N, "batches_run": N}
+
+Stdlib-only (http.server + ThreadingHTTPServer) so the serving stack carries
+no web-framework dependency; concurrency comes from one thread per connection
+all funneling into the engine's micro-batcher.
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from minddiffusion_tpu.serving.engine import BatchingEngine
+
+
+def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
+                port: int = 8000, request_timeout: float = 600.0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._send(200, {"ok": True,
+                                 "requests_served": engine.requests_served,
+                                 "batches_run": engine.batches_run})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/txt2img":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                prompt = req["prompt"]
+                negative = req.get("negative_prompt", "")
+                seed = int(req.get("seed", 0))
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": f"bad request: {e}"})
+                return
+            t0 = time.time()
+            try:
+                img = engine.submit(prompt, negative, seed,
+                                    timeout=request_timeout)
+            except TimeoutError:
+                self._send(504, {"error": "generation timed out"})
+                return
+            except Exception as e:  # noqa: BLE001 — surface engine errors
+                self._send(500, {"error": str(e)})
+                return
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            self._send(200, {
+                "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+                "latency_ms": round((time.time() - t0) * 1000, 1),
+                "seed": seed,
+            })
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
