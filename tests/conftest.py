@@ -23,3 +23,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (subprocess compiles etc.)")
