@@ -47,6 +47,12 @@ def main(argv=None) -> None:
 
     models = build_sd(args.family, args.dtype, tiny=args.debug_tiny)
     params = load_params(models, args.ckpt, args.height, args.width)
+    if args.dtype == "bf16":
+        # bit-identical outputs (the model casts fp32->bf16 in-graph anyway);
+        # halves param HBM residency — the serving headroom (utils/params.py)
+        from minddiffusion_tpu.utils.params import cast_serving_params
+
+        params = jax.jit(cast_serving_params)(params)
     pipe = StableDiffusionPipeline(models)
     fn = pipe.build_txt2img(height=args.height, width=args.width,
                             num_steps=args.steps, sampler=args.sampler,
