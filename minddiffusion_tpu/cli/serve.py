@@ -43,7 +43,7 @@ def main(argv=None) -> None:
 
     from minddiffusion_tpu.cli.common import build_sd, load_params, tokenizer_for
     from minddiffusion_tpu.pipelines.stable_diffusion import StableDiffusionPipeline
-    from minddiffusion_tpu.serving import BatchingEngine, make_server
+    from minddiffusion_tpu.serving import BatchingEngine, make_server, sd_run_batch
 
     models = build_sd(args.family, args.dtype, tiny=args.debug_tiny)
     params = load_params(models, args.ckpt, args.height, args.width)
@@ -60,12 +60,10 @@ def main(argv=None) -> None:
                             batch_size=args.batch_size)
     tok = tokenizer_for(args.family)
     f = models.latent_factor
-    engine = BatchingEngine(
-        fn, params, lambda s: tok.tokenize(s)[0],
-        batch_size=args.batch_size,
-        latent_hw=(args.height // f, args.width // f),
-        max_wait_ms=args.max_wait_ms,
-    ).start()
+    run_batch = sd_run_batch(fn, params, lambda s: tok.tokenize(s)[0],
+                             (args.height // f, args.width // f))
+    engine = BatchingEngine(run_batch, batch_size=args.batch_size,
+                            max_wait_ms=args.max_wait_ms).start()
 
     # warm the compile before accepting traffic
     print(f"[serve] compiling {args.sampler}-{args.steps} "

@@ -153,10 +153,14 @@ class GlideCascadePipeline:
         run_srgan: bool = True,
         uncond_mode: str = "per_generation",
     ) -> Callable:
-        """jit(fn)(params, tokens, mask, key) -> dict of uint8 image stages.
+        """jit(fn)(params, tokens, mask, key, row_seeds=None) -> dict of
+        uint8 image stages.
 
         tokens/mask: (B, text_ctx) int32 (host-tokenized). Random-token uncond
         is drawn from `key` (vocab range [1, n_vocab-1), main_funcs.py:37).
+        `row_seeds` (B,) int32 makes every row's randomness a function of its
+        own seed (serving determinism under micro-batching; per_generation
+        mode only).
 
         uncond_mode:
           * "per_generation" (default, fast): uncond tokens drawn once, their
@@ -172,9 +176,25 @@ class GlideCascadePipeline:
         vocab = m.base.xf_config.n_vocab
         ctx = m.base.xf_config.text_ctx
 
-        def fn(params, tokens, mask, key):
+        def fn(params, tokens, mask, key, row_seeds=None):
+            # `row_seeds` (B,) int32: per-request seeds. When given, every
+            # stochastic draw of row b (uncond tokens, base x_T, ancestral
+            # per-step noise, super-res x_T) derives from fold_in(base, seed_b)
+            # with a per-use tag — the row's output is then reproducible from
+            # its own seed regardless of batch composition (serving/engine).
+            # None (default, all CLI/bench paths) keeps the original programs.
+            if row_seeds is not None and uncond_mode != "per_generation":
+                raise ValueError("row_seeds requires uncond_mode="
+                                 "'per_generation' (the per_step exact-parity "
+                                 "mode draws batch-level uncond tokens)")
             b = tokens.shape[0]
             k_unc, k_base, k_sr, key = jax.random.split(key, 4)
+            if row_seeds is not None:
+                row_keys = jax.vmap(
+                    lambda s: jax.random.fold_in(jax.random.PRNGKey(0), s)
+                )(row_seeds)
+                tag = lambda t: jax.vmap(  # noqa: E731 — tiny key-scoping helper
+                    lambda rk: jax.random.fold_in(rk, t))(row_keys)
 
             # ---- base 64px stage, CFG with random-token uncond ----
             unc_mask = jnp.ones_like(mask)
@@ -199,8 +219,12 @@ class GlideCascadePipeline:
                 return eps, v_c
 
             if uncond_mode == "per_generation":
-                unc_tokens = jax.random.randint(
-                    k_unc, (b, ctx), 1, vocab - 1, jnp.int32)
+                if row_seeds is None:
+                    unc_tokens = jax.random.randint(
+                        k_unc, (b, ctx), 1, vocab - 1, jnp.int32)
+                else:
+                    unc_tokens = jax.vmap(lambda rk: jax.random.randint(
+                        rk, (ctx,), 1, vocab - 1, jnp.int32))(tag(1))
                 tok2 = jnp.concatenate([tokens, unc_tokens], axis=0)  # [cond; uncond]
                 mask2 = jnp.concatenate([mask, unc_mask], axis=0)
                 xf_proj2, xf_out2 = encode_base(tok2, mask2)
@@ -235,10 +259,17 @@ class GlideCascadePipeline:
 
                 model_takes_key = True
 
-            x_T = jax.random.normal(k_base, (b, base_size, base_size, 3), jnp.float32)
-            img64 = ancestral.p_sample_loop(base_model_fn, x_T, m.base_schedule,
-                                            key=jax.random.fold_in(key, 0),
-                                            model_takes_key=model_takes_key)
+            if row_seeds is None:
+                x_T = jax.random.normal(k_base, (b, base_size, base_size, 3),
+                                        jnp.float32)
+            else:
+                x_T = jax.vmap(lambda rk: jax.random.normal(
+                    rk, (base_size, base_size, 3), jnp.float32))(tag(2))
+            img64 = ancestral.p_sample_loop(
+                base_model_fn, x_T, m.base_schedule,
+                key=jax.random.fold_in(key, 0),
+                model_takes_key=model_takes_key,
+                row_keys=None if row_seeds is None else tag(3))
 
             # ---- super-res 256px stage (no CFG) ----
             low_res = quantize_roundtrip(img64)
@@ -255,8 +286,12 @@ class GlideCascadePipeline:
                                          xf_proj_s, xf_out_s,
                                          method=m.super_res.denoise)
 
-            x_T_sr = upsample_temp * jax.random.normal(
-                k_sr, (b, sr_size, sr_size, 3), jnp.float32)
+            if row_seeds is None:
+                x_T_sr = upsample_temp * jax.random.normal(
+                    k_sr, (b, sr_size, sr_size, 3), jnp.float32)
+            else:
+                x_T_sr = upsample_temp * jax.vmap(lambda rk: jax.random.normal(
+                    rk, (sr_size, sr_size, 3), jnp.float32))(tag(4))
             img256 = ancestral.ddim_sample_loop(sr_model_fn, x_T_sr, m.sr_schedule)
 
             out = {"base": _to_uint8(img64), "super_res": _to_uint8(img256)}

@@ -68,30 +68,41 @@ def p_sample_loop(
     key: jax.Array,
     clip_denoised: bool = True,
     model_takes_key: bool = False,
+    row_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Ancestral sampling over all spaced steps, T-1 .. 0, one XLA program.
 
     `model_takes_key=True` feeds a fresh per-step key to the model as a third
-    argument (GLIDE per-step random-token uncond, the exact-parity CFG mode)."""
+    argument (GLIDE per-step random-token uncond, the exact-parity CFG mode).
+
+    `row_keys` (B, 2) uint32: when given, step i's ancestral noise for row b
+    is drawn from fold_in(row_keys[b], i) instead of a batch-level key — a
+    row's trajectory then depends only on its own key, not on batch
+    composition (per-request determinism for serving/engine)."""
     n = schedule.num_timesteps
     ts = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
     keys = common.per_step_keys(key, n)
+    steps = jnp.arange(n, dtype=jnp.int32)
     batch = x_T.shape[0]
 
     def step(x, per_step):
-        t, k = per_step
+        t, k, i = per_step
         if model_takes_key:
             k, k_model = jax.random.split(k)
         tb = common.broadcast_t(t, batch)
         mean, log_var, _ = p_mean_variance(
             model_fn, schedule, x, tb, clip_denoised,
             model_key=k_model if model_takes_key else None)
-        noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
+        if row_keys is None:
+            noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
+        else:
+            noise = jax.vmap(lambda rk: jax.random.normal(
+                jax.random.fold_in(rk, i), x.shape[1:], jnp.float32))(row_keys)
         nonzero = (t > 0).astype(jnp.float32)
         x_prev = mean + nonzero * jnp.exp(0.5 * log_var) * noise
         return x_prev, None
 
-    x_final, _ = jax.lax.scan(step, x_T.astype(jnp.float32), (ts, keys))
+    x_final, _ = jax.lax.scan(step, x_T.astype(jnp.float32), (ts, keys, steps))
     return x_final
 
 

@@ -1,4 +1,4 @@
-"""Micro-batching serving engine for one compiled txt2img program.
+"""Micro-batching serving engine over one compiled generation program.
 
 The reference has no serving story beyond its CLI (one process, one fixed
 batch per invocation — stablediffusionv2/txt2img.py:244-281); production TPU
@@ -9,16 +9,21 @@ onto it. This engine provides that:
   * requests arrive on any thread via `submit()` (blocking) and are grouped
     by a background worker into batches of the compiled size — a partial
     batch is padded by repeating rows (static shapes, no recompiles);
-  * per-request determinism: each request's initial latent x_T is derived
-    from its OWN seed (host-side Philox counter RNG) and passed through the
-    pipeline's explicit-`noise` input, so the same (prompt, seed) returns
-    the same image no matter which requests it happened to be batched with —
-    DDIM/PLMS/DPM consume no randomness beyond x_T;
+  * per-request determinism: every stochastic input of a request derives
+    from its OWN seed, so the same (prompt, negative_prompt, seed) returns
+    the same image no matter which requests it happened to be batched with.
+    For SD that is the initial latent x_T (host Philox -> the pipeline's
+    explicit-`noise` input; DDIM/PLMS/DPM consume no other randomness); for
+    GLIDE it is the cascade's `row_seeds` input (per-row uncond tokens, x_T,
+    ancestral noise — pipelines/glide_cascade.build_generate);
   * tokenization stays host-side on the caller thread (same contract as the
     reference's data path, SURVEY §1 L1->L2).
 
-Throughput equals the driver-bench number (it is the same compiled program);
-the engine only adds queueing. See cli/serve.py for the HTTP front end.
+The engine core is family-agnostic: it batches requests and calls a
+`run_batch(requests) -> (B, H, W, 3) uint8` adapter. `sd_run_batch` /
+`glide_run_batch` build the adapters for the two pipeline families.
+Throughput equals the bench number for the same program; the engine only
+adds queueing. See cli/serve.py for the HTTP front end.
 """
 from __future__ import annotations
 
@@ -33,33 +38,75 @@ import numpy as np
 
 
 @dataclass
-class _Pending:
-    tokens: np.ndarray          # (L,) int32
-    uncond_tokens: np.ndarray   # (L,) int32
+class Request:
+    prompt: str
+    negative_prompt: str
     seed: int
     done: threading.Event = field(default_factory=threading.Event)
     image: Optional[np.ndarray] = None   # (H, W, 3) uint8
     error: Optional[BaseException] = None
 
 
-class BatchingEngine:
-    """Wraps a compiled `fn(params, tokens, uncond, key, noise) -> uint8
-    images` (from StableDiffusionPipeline.build_txt2img) with a request queue.
+def sd_run_batch(fn: Callable, params, tokenize: Callable[[str], np.ndarray],
+                 latent_hw: tuple) -> Callable:
+    """Adapter for StableDiffusionPipeline.build_txt2img programs
+    (`fn(params, tokens, uncond, key, noise) -> uint8 images`)."""
+    h8, w8 = latent_hw
+    fixed_key = jax.random.PRNGKey(0)  # all randomness comes from `noise`
 
-    batch_size must match the batch the program was built for. `max_wait_ms`
-    bounds how long the worker holds the first request of a batch while
-    waiting for more traffic.
+    def run(rows: list) -> np.ndarray:
+        tokens = np.stack([np.asarray(tokenize(r.prompt), np.int32) for r in rows])
+        uncond = np.stack([np.asarray(tokenize(r.negative_prompt), np.int32)
+                           for r in rows])
+        # host-side counter-based RNG: deterministic per seed and costs no
+        # device dispatch (a per-request jax.random.normal would round-trip
+        # the TPU ~25 ms each over the tunnel)
+        noise = np.stack([
+            np.random.Generator(np.random.Philox(r.seed))
+            .standard_normal((h8, w8, 4), np.float32)
+            for r in rows])
+        return np.asarray(fn(params, tokens, uncond, fixed_key, noise))
+
+    return run
+
+
+def glide_run_batch(fn: Callable, params,
+                    tokenize: Callable[[str], tuple], stage: str = "srgan") -> Callable:
+    """Adapter for GlideCascadePipeline.build_generate programs
+    (`fn(params, tokens, mask, key, row_seeds) -> {stage: uint8 images}`).
+
+    `tokenize(prompt) -> (tokens, mask)` (padded_tokens_and_mask). GLIDE has
+    no negative-prompt input (its uncond is random tokens); a request's
+    negative_prompt is ignored. `stage` picks which cascade output to serve.
+    """
+    fixed_key = jax.random.PRNGKey(0)  # all randomness comes from row_seeds
+
+    def run(rows: list) -> np.ndarray:
+        toks, masks = zip(*(tokenize(r.prompt) for r in rows))
+        tokens = np.stack([np.asarray(t, np.int32) for t in toks])
+        mask = np.stack([np.asarray(m, np.int32) for m in masks])
+        seeds = np.asarray([r.seed for r in rows], np.int32)
+        out = fn(params, tokens, mask, fixed_key, seeds)
+        return np.asarray(out[stage])
+
+    return run
+
+
+class BatchingEngine:
+    """Batches concurrent requests onto one compiled program.
+
+    `run_batch(list[Request]) -> (batch_size, H, W, 3) uint8` — build it with
+    sd_run_batch / glide_run_batch. batch_size must match the batch the
+    program was compiled for. `max_wait_ms` bounds how long the worker holds
+    the first request of a batch while waiting for more traffic.
     """
 
-    def __init__(self, fn: Callable, params, tokenize: Callable[[str], np.ndarray],
-                 *, batch_size: int, latent_hw: tuple, max_wait_ms: float = 25.0):
-        self._fn = fn
-        self._params = params
-        self._tokenize = tokenize
+    def __init__(self, run_batch: Callable, *, batch_size: int,
+                 max_wait_ms: float = 25.0):
+        self._run_batch = run_batch
         self._batch = batch_size
-        self._latent_hw = latent_hw
         self._max_wait = max_wait_ms / 1000.0
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._q: "queue.Queue[Request]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._started = False
@@ -86,11 +133,8 @@ class BatchingEngine:
                timeout: Optional[float] = None) -> np.ndarray:
         """Blocks until the image is ready; thread-safe. Same (prompt,
         negative_prompt, seed) -> bitwise-same image, independent of batching."""
-        req = _Pending(
-            tokens=np.asarray(self._tokenize(prompt), np.int32),
-            uncond_tokens=np.asarray(self._tokenize(negative_prompt), np.int32),
-            seed=int(seed),
-        )
+        req = Request(prompt=prompt, negative_prompt=negative_prompt,
+                      seed=int(seed))
         self._q.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("generation timed out")
@@ -118,27 +162,14 @@ class BatchingEngine:
         return batch
 
     def _run(self) -> None:
-        h8, w8 = self._latent_hw
-        fixed_key = jax.random.PRNGKey(0)  # all randomness comes from `noise`
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
             n = len(batch)
-            pad = self._batch - n
-            rows = batch + [batch[-1]] * pad  # repeat-pad to the static batch
+            rows = batch + [batch[-1]] * (self._batch - n)  # repeat-pad
             try:
-                tokens = np.stack([r.tokens for r in rows])
-                uncond = np.stack([r.uncond_tokens for r in rows])
-                # host-side counter-based RNG: deterministic per seed and
-                # costs no device dispatch (a per-request jax.random.normal
-                # would round-trip the TPU ~25 ms each over the tunnel)
-                noise = np.stack([
-                    np.random.Generator(np.random.Philox(r.seed))
-                    .standard_normal((h8, w8, 4), np.float32)
-                    for r in rows])
-                imgs = np.asarray(self._fn(self._params, tokens, uncond,
-                                           fixed_key, noise))
+                imgs = self._run_batch(rows)
                 for i, r in enumerate(batch):
                     r.image = imgs[i]
                     r.done.set()

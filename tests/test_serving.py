@@ -15,7 +15,8 @@ import numpy as np
 import pytest
 
 from minddiffusion_tpu.pipelines.stable_diffusion import StableDiffusionPipeline
-from minddiffusion_tpu.serving import BatchingEngine, make_server
+from minddiffusion_tpu.serving import (
+    BatchingEngine, glide_run_batch, make_server, sd_run_batch)
 from tests.test_pipelines import tiny_models
 
 
@@ -34,8 +35,8 @@ def engine():
     fn = pipe.build_txt2img(height=64, width=64, num_steps=3, sampler="ddim",
                             guidance_scale=7.5, batch_size=4)
     f = models.latent_factor  # tiny VAE: 2, not the SD 8
-    eng = BatchingEngine(fn, params, _tokenize, batch_size=4,
-                         latent_hw=(64 // f, 64 // f), max_wait_ms=30.0).start()
+    run = sd_run_batch(fn, params, _tokenize, (64 // f, 64 // f))
+    eng = BatchingEngine(run, batch_size=4, max_wait_ms=30.0).start()
     yield eng
     eng.stop()
 
@@ -111,3 +112,45 @@ def test_bad_request_400(engine):
         assert e.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_glide_engine_determinism():
+    """GLIDE cascade serving: per-request seeds drive per-row uncond tokens,
+    x_T, and ancestral noise (row_seeds input) — a request's image must not
+    depend on batch composition."""
+    from minddiffusion_tpu.pipelines.glide_cascade import (
+        GlideCascadePipeline, GlideModels)
+    from tests.test_glide import tiny_unet, tiny_xf
+
+    models = GlideModels.create(
+        dtype=jnp.float32, base_respacing="4", sr_respacing="3",
+        base_unet=tiny_unet(), sr_unet=tiny_unet(in_channels=6),
+        xf=tiny_xf(), with_srgan=False,
+    )
+    params = models.init_params(jax.random.PRNGKey(0), base_size=16, sr_size=32)
+    fn = GlideCascadePipeline(models).build_generate(
+        batch_size=2, base_size=16, sr_size=32)
+
+    def tok_pair(prompt):
+        ids = _tokenize(prompt)
+        return ids, (ids != 0).astype(np.int32)
+
+    run = glide_run_batch(fn, params, tok_pair, stage="super_res")
+    eng = BatchingEngine(run, batch_size=2, max_wait_ms=30.0).start()
+    try:
+        solo = eng.submit("a cat", seed=7, timeout=600)
+        assert solo.shape == (32, 32, 3) and solo.dtype == np.uint8
+
+        results = {}
+        t1 = threading.Thread(target=lambda: results.update(
+            cat=eng.submit("a cat", seed=7, timeout=600)))
+        t2 = threading.Thread(target=lambda: results.update(
+            dog=eng.submit("a dog", seed=9, timeout=600)))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        np.testing.assert_array_equal(solo, results["cat"])
+
+        # different seed, same prompt -> different image
+        other = eng.submit("a cat", seed=8, timeout=600)
+        assert not np.array_equal(solo, other)
+    finally:
+        eng.stop()
