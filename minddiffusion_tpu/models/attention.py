@@ -97,8 +97,30 @@ class CrossAttention(nn.Module):
             if hoistable and self.is_mutable_collection("xattn_kv"):
                 self.put_variable("xattn_kv", "k", k)
                 self.put_variable("xattn_kv", "v", v)
+        if self._use_out_proj(x, context, inner):
+            # MDT_OUT_PROJ=1: fuse ONLY the to_out projection into the
+            # attention kernel epilogue (ops/flash_attention._packed_out_kernel)
+            # — q/k/v GEMMs stay with XLA (their in-kernel variant was the
+            # measured regression in the full fused-proj experiment).
+            from minddiffusion_tpu.ops.attention import packed_out_attention_ad
+
+            wo, bo = _DenseParams(self.query_dim, name="to_out")(inner)
+            return packed_out_attention_ad(
+                q, k, v, wo, bo, self.dim_head ** -0.5, self.heads,
+                self.attn_impl != "pallas_fast")
         out = packed_attention(q, k, v, self.heads, impl=self.attn_impl)
         return self._proj(self.query_dim, True, "to_out")(out)
+
+    def _use_out_proj(self, x, context, inner) -> bool:
+        if self.is_initializing():
+            return False  # init declares the plain to_out dense params
+        n = x.shape[1]
+        return (context is None and not self.enable_lora
+                and self.attn_impl != "xla"
+                and inner == self.query_dim == x.shape[-1]
+                and n >= 1024 and n % 256 == 0
+                and jax.default_backend() == "tpu"
+                and os.environ.get("MDT_OUT_PROJ", "0") == "1")
 
     def _use_fused_proj(self, x, context, inner) -> bool:
         """Spatial self-attention on TPU: fuse q/k/v/out projections into the

@@ -248,3 +248,32 @@ def packed_attention(
         impl=impl,
     )
     return out.reshape(b, nq, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def packed_out_attention_ad(q, k, v, wo, bo, scale, heads, exact):
+    """attention + fused out-projection (flash_attention_packed_out) with an
+    einsum-recompute backward (the Pallas kernel is not linearizable)."""
+    from minddiffusion_tpu.ops import flash_attention
+
+    return flash_attention.flash_attention_packed_out(
+        q, k, v, wo, bo, scale=scale, heads=heads, exact=exact)
+
+
+def _out_ref(q, k, v, wo, bo, scale, heads):
+    y = _einsum_packed(q, k, v, scale, heads)
+    return y @ wo.astype(y.dtype) + bo.astype(y.dtype)
+
+
+def _out_ad_fwd(q, k, v, wo, bo, scale, heads, exact):
+    return (packed_out_attention_ad(q, k, v, wo, bo, scale, heads, exact),
+            (q, k, v, wo, bo))
+
+
+def _out_ad_bwd(scale, heads, exact, res, g):
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e: _out_ref(a, b, c, d, e, scale, heads), *res)
+    return vjp(g)
+
+
+packed_out_attention_ad.defvjp(_out_ad_fwd, _out_ad_bwd)

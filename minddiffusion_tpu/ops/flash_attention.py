@@ -708,3 +708,90 @@ def _largest_divisor_block(n: int, max_block: int) -> int:
         if n % cand == 0 and (cand % 128 == 0 or cand == n):
             return cand
     return n
+
+
+def _packed_out_kernel(q_ref, k_ref, v_ref, wo_ref, bo_ref, o_ref, *,
+                       scale: float, exact: bool, heads: int, head_dim: int):
+    """_packed_kernel + the to_out projection fused into the epilogue.
+
+    Per head: softmax(q_h k_h^T) v_h as usual, then the head's (bq, d) output
+    immediately contracts with its W_o row-block (d, C) and accumulates into
+    one fp32 (bq, C) tile — the attention output never round-trips HBM, and
+    the {2,0,1}<->{2,1,0} relayout copies XLA inserts between the attention
+    custom-call and the conv-emitted to_out dot disappear. Unlike the full
+    fused-proj kernel (q/k/v GEMMs in-kernel, measured e2e REGRESSION from
+    serialized K/V projections at grid step 0), the q/k/v projections stay
+    with XLA."""
+    acc = None
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if exact:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+        else:
+            p = jnp.exp(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0][:, sl]
+        o_h = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / l
+        contrib = jax.lax.dot_general(
+            o_h.astype(v.dtype), wo_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = contrib if acc is None else acc + contrib
+    o_ref[0] = (acc + bo_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "heads", "block_q", "exact", "interpret"),
+)
+def flash_attention_packed_out(
+    q: jnp.ndarray,   # (B, Nq, C)
+    k: jnp.ndarray,   # (B, Nk, C)
+    v: jnp.ndarray,
+    wo: jnp.ndarray,  # (C, C_out)
+    bo: jnp.ndarray,  # (C_out,)
+    scale: float,
+    heads: int,
+    block_q: int = 256,
+    exact: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """attention(q, k, v) @ W_o + b_o with the projection fused in-kernel."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    c_out = wo.shape[-1]
+    d = c // heads
+    qb = min(block_q, nq)
+    pad = (-nq) % qb
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    grid = (b, pl.cdiv(nq + pad, qb))
+    kernel = functools.partial(_packed_out_kernel, scale=scale, exact=exact,
+                               heads=heads, head_dim=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, qb, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, nk, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, nk, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo, grid-resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bo
+        ],
+        out_specs=pl.BlockSpec((1, qb, c_out), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq + pad, c_out), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * nq * nk * d + 2 * b * nq * c * c_out,
+            bytes_accessed=2 * b * (nq + 2 * nk) * c + 2 * c * c_out,
+            transcendentals=b * heads * nq * nk,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, wo.astype(q.dtype), bo.reshape(1, c_out).astype(jnp.float32))
+    return out[:, :nq]

@@ -149,3 +149,40 @@ def test_attention_ad_bridges_have_reference_grads():
     bo = jnp.zeros((c,), jnp.float32)
     g = jax.grad(lambda x_: _proj_ref(x_, *ws, bo, d ** -0.5, heads).sum())(x)
     assert g.shape == x.shape and np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_packed_out_matches_unfused_composition(exact):
+    """attention + fused out-projection == packed attention -> dense @ W_o."""
+    from minddiffusion_tpu.ops.attention import _einsum_packed
+    from minddiffusion_tpu.ops.flash_attention import flash_attention_packed_out
+
+    b, n, heads, d = 2, 256, 2, 64
+    c = heads * d
+    rng = np.random.RandomState(3)
+    q, k, v = (jnp.asarray(rng.randn(b, n, c), jnp.float32) for _ in range(3))
+    wo = jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32)
+    bo = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    scale = d ** -0.5
+    ref = _einsum_packed(q, k, v, scale, heads) @ wo + bo
+    out = flash_attention_packed_out(q, k, v, wo, bo, scale=scale,
+                                     heads=heads, block_q=128, exact=exact,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_out_ad_bridge_grads():
+    from minddiffusion_tpu.ops.attention import _out_ref
+
+    b, n, heads, d = 1, 128, 2, 64
+    c = heads * d
+    rng = np.random.RandomState(11)
+    q, k, v = (jnp.asarray(rng.randn(b, n, c), jnp.float32) for _ in range(3))
+    wo = jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32)
+    bo = jnp.zeros((c,), jnp.float32)
+    grads = jax.grad(
+        lambda *a: _out_ref(*a, bo, d ** -0.5, heads).sum(),
+        argnums=(0, 1, 2, 3))(q, k, v, wo)
+    for g, ref in zip(grads, (q, k, v, wo)):
+        assert g.shape == ref.shape and np.isfinite(np.asarray(g)).all()
