@@ -36,7 +36,7 @@ def tokens(b, fill):
     return jnp.full((b, 8), fill, jnp.int32)
 
 
-@pytest.mark.parametrize("sampler", ["ddim", "plms", "dpm"])
+@pytest.mark.parametrize("sampler", ["ddim", "plms", "dpm", "dpm_singlestep"])
 def test_txt2img_all_samplers(setup, sampler):
     models, params = setup
     pipe = StableDiffusionPipeline(models)
