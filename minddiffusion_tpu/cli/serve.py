@@ -153,7 +153,10 @@ def main(argv=None) -> None:
     engine.submit("warmup", seed=0)
     print("[serve] compiled; serving")
 
-    srv = make_server(engine, args.host, args.port)
+    srv = make_server(engine, args.host, args.port,
+                      info={"family": args.family, "config": desc,
+                            "batch_size": args.batch_size,
+                            "dtype": args.dtype})
     print(f"[serve] listening on {args.host}:{args.port}")
     try:
         srv.serve_forever()

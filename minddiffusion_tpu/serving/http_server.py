@@ -15,12 +15,14 @@ import io
 import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 from minddiffusion_tpu.serving.engine import BatchingEngine
 
 
 def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
-                port: int = 8000, request_timeout: float = 600.0) -> ThreadingHTTPServer:
+                port: int = 8000, request_timeout: float = 600.0,
+                info: Optional[dict] = None) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -35,6 +37,8 @@ def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
                 self._send(200, {"ok": True,
                                  "requests_served": engine.requests_served,
                                  "batches_run": engine.batches_run})
+            elif self.path == "/v1/info":
+                self._send(200, info or {})
             else:
                 self._send(404, {"error": "not found"})
 

@@ -69,7 +69,8 @@ def test_determinism_independent_of_batching(engine):
 
 
 def test_http_roundtrip(engine):
-    srv = make_server(engine, host="127.0.0.1", port=0)
+    srv = make_server(engine, host="127.0.0.1", port=0,
+                      info={"family": "test"})
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -88,6 +89,10 @@ def test_http_roundtrip(engine):
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
             health = json.loads(resp.read())
         assert health["ok"] and health["requests_served"] >= 1
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/info", timeout=30) as resp:
+            assert json.loads(resp.read()) == {"family": "test"}
 
         # HTTP result matches the direct-submit result for the same seed
         from PIL import Image
