@@ -43,15 +43,16 @@ def main() -> None:
         import os
         import sys
 
-        waited = float(os.environ.get("MDT_BENCH_WAIT_S", "0"))
+        start = float(os.environ.setdefault("MDT_BENCH_WAIT_START",
+                                            str(t_start)))
+        waited = time.time() - start  # wall clock incl. the hang itself
         budget = float(os.environ.get("MDT_BENCH_WAIT_BUDGET_S", "2700"))
         if waited >= budget:
             log(f"TPU unavailable after {waited:.0f}s of retries: {e}")
             raise
         log(f"TPU unavailable ({e}); retrying in 60s "
-            f"({waited:.0f}/{budget:.0f}s waited)")
+            f"({waited:.0f}/{budget:.0f}s elapsed)")
         time.sleep(60)
-        os.environ["MDT_BENCH_WAIT_S"] = str(waited + 60)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     log(f"device: {dev.device_kind} ({jax.default_backend()})")
 

@@ -59,6 +59,9 @@ WAVE2 = ("x8_conv", "lp_llo", "copy_elision", "copy_region", "licm2",
 def main():
     names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
         n for n in VARIANTS if n not in WAVE2]
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:  # fail BEFORE hours of compiles, not mid-sweep
+        sys.exit(f"unknown variant(s): {unknown}; known: {list(VARIANTS)}")
     models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
                              attn_impl="pallas_fast")
     params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(

@@ -53,7 +53,7 @@ def build_argparser() -> argparse.ArgumentParser:
 def _build_sd_engine(args):
     from minddiffusion_tpu.cli.common import build_sd, load_params, tokenizer_for
     from minddiffusion_tpu.pipelines.stable_diffusion import StableDiffusionPipeline
-    from minddiffusion_tpu.serving import BatchingEngine, sd_run_batch
+    from minddiffusion_tpu.serving import BatchingEngine, SDAdapter
 
     models = build_sd(args.family, args.dtype, tiny=args.debug_tiny)
     params = load_params(models, args.ckpt, args.height, args.width)
@@ -70,10 +70,10 @@ def _build_sd_engine(args):
                             batch_size=args.batch_size)
     tok = tokenizer_for(args.family)
     f = models.latent_factor
-    run_batch = sd_run_batch(fn, params, lambda s: tok.tokenize(s)[0],
-                             (args.height // f, args.width // f))
+    adapter = SDAdapter(fn, params, lambda s: tok.tokenize(s)[0],
+                        (args.height // f, args.width // f))
     desc = f"{args.sampler}-{args.steps} {args.height}x{args.width}"
-    return BatchingEngine(run_batch, batch_size=args.batch_size,
+    return BatchingEngine(adapter, batch_size=args.batch_size,
                           max_wait_ms=args.max_wait_ms), desc
 
 
@@ -83,7 +83,7 @@ def _build_glide_engine(args):
 
     from minddiffusion_tpu.pipelines.glide_cascade import (
         GlideCascadePipeline, GlideModels)
-    from minddiffusion_tpu.serving import BatchingEngine, glide_run_batch
+    from minddiffusion_tpu.serving import BatchingEngine, GlideAdapter
     from minddiffusion_tpu.text.glide_text import padded_tokens_and_mask
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -130,9 +130,9 @@ def _build_glide_engine(args):
         tok_pair = lambda s: (np.ones((ctx,), np.int32),  # noqa: E731
                               np.ones((ctx,), np.int32))
     stage = "super_res" if args.no_srgan else "srgan"
-    run_batch = glide_run_batch(fn, params, tok_pair, stage=stage)
+    adapter = GlideAdapter(fn, params, tok_pair, stage=stage)
     desc = f"glide {args.denoise_steps}+{args.super_res_steps} -> {stage}"
-    return BatchingEngine(run_batch, batch_size=args.batch_size,
+    return BatchingEngine(adapter, batch_size=args.batch_size,
                           max_wait_ms=args.max_wait_ms), desc
 
 

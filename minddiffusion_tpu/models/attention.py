@@ -115,10 +115,18 @@ class CrossAttention(nn.Module):
         if self.is_initializing():
             return False  # init declares the plain to_out dense params
         n = x.shape[1]
+        # same VMEM budget shape as packed_attention's dispatch: K/V blocks
+        # (n*inner bf16 each, double-buffered) + a bq x n fp32 score tile +
+        # q/out tiles + the grid-resident W_o — stay under the kernel's 64M
+        # vmem_limit_bytes with margin (large resolutions fall back to the
+        # unfused path instead of failing Mosaic's VMEM check)
+        vmem = (2 * n * inner * 2 * 2 + 256 * n * 4 + 256 * inner * 10
+                + inner * self.query_dim * 2)
         return (context is None and not self.enable_lora
                 and self.attn_impl != "xla"
                 and inner == self.query_dim == x.shape[-1]
                 and n >= 1024 and n % 256 == 0
+                and vmem <= 48 * 1024 * 1024
                 and jax.default_backend() == "tpu"
                 and os.environ.get("MDT_OUT_PROJ", "0") == "1")
 

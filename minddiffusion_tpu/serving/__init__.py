@@ -5,7 +5,7 @@ one-shot CLI, stablediffusionv2/txt2img.py); on TPU a long-lived process with
 one compiled program and dynamic micro-batching is the natural serving shape.
 """
 from minddiffusion_tpu.serving.engine import (
-    BatchingEngine, glide_run_batch, sd_run_batch)
+    BatchingEngine, GlideAdapter, SDAdapter)
 from minddiffusion_tpu.serving.http_server import make_server
 
-__all__ = ["BatchingEngine", "glide_run_batch", "sd_run_batch", "make_server"]
+__all__ = ["BatchingEngine", "GlideAdapter", "SDAdapter", "make_server"]

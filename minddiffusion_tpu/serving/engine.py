@@ -9,6 +9,10 @@ onto it. This engine provides that:
   * requests arrive on any thread via `submit()` (blocking) and are grouped
     by a background worker into batches of the compiled size — a partial
     batch is padded by repeating rows (static shapes, no recompiles);
+  * per-request work (validation, tokenization, host-side noise) happens in
+    `adapter.prepare()` ON THE CALLER THREAD: a bad request (invalid seed,
+    tokenizer error) fails only its own caller, never a co-batched one, and
+    tokenization overlaps with the previous batch's device time;
   * per-request determinism: every stochastic input of a request derives
     from its OWN seed, so the same (prompt, negative_prompt, seed) returns
     the same image no matter which requests it happened to be batched with.
@@ -16,14 +20,15 @@ onto it. This engine provides that:
     explicit-`noise` input; DDIM/PLMS/DPM consume no other randomness); for
     GLIDE it is the cascade's `row_seeds` input (per-row uncond tokens, x_T,
     ancestral noise — pipelines/glide_cascade.build_generate);
-  * tokenization stays host-side on the caller thread (same contract as the
-    reference's data path, SURVEY §1 L1->L2).
+  * a caller that times out marks its request abandoned; the worker drops
+    abandoned requests instead of burning batch slots on images nobody will
+    read (overload sheds dead work instead of congestion-collapsing).
 
-The engine core is family-agnostic: it batches requests and calls a
-`run_batch(requests) -> (B, H, W, 3) uint8` adapter. `sd_run_batch` /
-`glide_run_batch` build the adapters for the two pipeline families.
-Throughput equals the bench number for the same program; the engine only
-adds queueing. See cli/serve.py for the HTTP front end.
+Adapters (SDAdapter / GlideAdapter) carry the per-family logic:
+`prepare(prompt, negative_prompt, seed) -> payload` and
+`run(payloads) -> (batch_size, H, W, 3) uint8`. Throughput equals the bench
+number for the same program; the engine only adds queueing. See cli/serve.py
+for the HTTP front end.
 """
 from __future__ import annotations
 
@@ -36,74 +41,98 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
+_MAX_SEED = 2**63 - 1  # Philox accepts any non-negative Python int; cap sanely
+
 
 @dataclass
 class Request:
-    prompt: str
-    negative_prompt: str
-    seed: int
+    payload: dict
     done: threading.Event = field(default_factory=threading.Event)
     image: Optional[np.ndarray] = None   # (H, W, 3) uint8
     error: Optional[BaseException] = None
+    abandoned: bool = False
 
 
-def sd_run_batch(fn: Callable, params, tokenize: Callable[[str], np.ndarray],
-                 latent_hw: tuple) -> Callable:
-    """Adapter for StableDiffusionPipeline.build_txt2img programs
+class SDAdapter:
+    """StableDiffusionPipeline.build_txt2img programs
     (`fn(params, tokens, uncond, key, noise) -> uint8 images`)."""
-    h8, w8 = latent_hw
-    fixed_key = jax.random.PRNGKey(0)  # all randomness comes from `noise`
 
-    def run(rows: list) -> np.ndarray:
-        tokens = np.stack([np.asarray(tokenize(r.prompt), np.int32) for r in rows])
-        uncond = np.stack([np.asarray(tokenize(r.negative_prompt), np.int32)
-                           for r in rows])
+    def __init__(self, fn: Callable, params,
+                 tokenize: Callable[[str], np.ndarray], latent_hw: tuple):
+        self._fn = fn
+        self._params = params
+        self._tokenize = tokenize
+        self._latent_hw = latent_hw
+        self._fixed_key = jax.random.PRNGKey(0)  # all randomness is in `noise`
+
+    def prepare(self, prompt: str, negative_prompt: str, seed: int) -> dict:
+        seed = int(seed)
+        if not 0 <= seed <= _MAX_SEED:
+            raise ValueError(f"seed must be in [0, 2**63), got {seed}")
+        h8, w8 = self._latent_hw
         # host-side counter-based RNG: deterministic per seed and costs no
         # device dispatch (a per-request jax.random.normal would round-trip
         # the TPU ~25 ms each over the tunnel)
-        noise = np.stack([
-            np.random.Generator(np.random.Philox(r.seed))
-            .standard_normal((h8, w8, 4), np.float32)
-            for r in rows])
-        return np.asarray(fn(params, tokens, uncond, fixed_key, noise))
+        noise = (np.random.Generator(np.random.Philox(seed))
+                 .standard_normal((h8, w8, 4), np.float32))
+        return {
+            "tokens": np.asarray(self._tokenize(str(prompt)), np.int32),
+            "uncond": np.asarray(self._tokenize(str(negative_prompt)), np.int32),
+            "noise": noise,
+        }
 
-    return run
+    def run(self, payloads: list) -> np.ndarray:
+        tokens = np.stack([p["tokens"] for p in payloads])
+        uncond = np.stack([p["uncond"] for p in payloads])
+        noise = np.stack([p["noise"] for p in payloads])
+        return np.asarray(self._fn(self._params, tokens, uncond,
+                                   self._fixed_key, noise))
 
 
-def glide_run_batch(fn: Callable, params,
-                    tokenize: Callable[[str], tuple], stage: str = "srgan") -> Callable:
-    """Adapter for GlideCascadePipeline.build_generate programs
+class GlideAdapter:
+    """GlideCascadePipeline.build_generate programs
     (`fn(params, tokens, mask, key, row_seeds) -> {stage: uint8 images}`).
 
     `tokenize(prompt) -> (tokens, mask)` (padded_tokens_and_mask). GLIDE has
     no negative-prompt input (its uncond is random tokens); a request's
     negative_prompt is ignored. `stage` picks which cascade output to serve.
     """
-    fixed_key = jax.random.PRNGKey(0)  # all randomness comes from row_seeds
 
-    def run(rows: list) -> np.ndarray:
-        toks, masks = zip(*(tokenize(r.prompt) for r in rows))
-        tokens = np.stack([np.asarray(t, np.int32) for t in toks])
-        mask = np.stack([np.asarray(m, np.int32) for m in masks])
-        seeds = np.asarray([r.seed for r in rows], np.int32)
-        out = fn(params, tokens, mask, fixed_key, seeds)
-        return np.asarray(out[stage])
+    def __init__(self, fn: Callable, params, tokenize: Callable[[str], tuple],
+                 stage: str = "srgan"):
+        self._fn = fn
+        self._params = params
+        self._tokenize = tokenize
+        self._stage = stage
+        self._fixed_key = jax.random.PRNGKey(0)  # randomness is in row_seeds
 
-    return run
+    def prepare(self, prompt: str, negative_prompt: str, seed: int) -> dict:
+        seed = int(seed)
+        if not 0 <= seed < 2**31:  # row_seeds is an int32 pipeline input
+            raise ValueError(f"seed must be in [0, 2**31), got {seed}")
+        tokens, mask = self._tokenize(str(prompt))
+        return {
+            "tokens": np.asarray(tokens, np.int32),
+            "mask": np.asarray(mask, np.int32),
+            "seed": np.int32(seed),
+        }
+
+    def run(self, payloads: list) -> np.ndarray:
+        tokens = np.stack([p["tokens"] for p in payloads])
+        mask = np.stack([p["mask"] for p in payloads])
+        seeds = np.asarray([p["seed"] for p in payloads], np.int32)
+        out = self._fn(self._params, tokens, mask, self._fixed_key, seeds)
+        return np.asarray(out[self._stage])
 
 
 class BatchingEngine:
-    """Batches concurrent requests onto one compiled program.
+    """Batches concurrent requests onto one compiled program via an adapter
+    (SDAdapter / GlideAdapter). batch_size must match the batch the program
+    was compiled for. `max_wait_ms` bounds how long the worker holds the
+    first request of a batch while waiting for more traffic."""
 
-    `run_batch(list[Request]) -> (batch_size, H, W, 3) uint8` — build it with
-    sd_run_batch / glide_run_batch. batch_size must match the batch the
-    program was compiled for. `max_wait_ms` bounds how long the worker holds
-    the first request of a batch while waiting for more traffic.
-    """
-
-    def __init__(self, run_batch: Callable, *, batch_size: int,
-                 max_wait_ms: float = 25.0):
-        self._run_batch = run_batch
+    def __init__(self, adapter, *, batch_size: int, max_wait_ms: float = 25.0):
+        self._adapter = adapter
         self._batch = batch_size
         self._max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue[Request]" = queue.Queue()
@@ -132,11 +161,14 @@ class BatchingEngine:
     def submit(self, prompt: str, negative_prompt: str = "", seed: int = 0,
                timeout: Optional[float] = None) -> np.ndarray:
         """Blocks until the image is ready; thread-safe. Same (prompt,
-        negative_prompt, seed) -> bitwise-same image, independent of batching."""
-        req = Request(prompt=prompt, negative_prompt=negative_prompt,
-                      seed=int(seed))
+        negative_prompt, seed) -> bitwise-same image, independent of batching.
+        Validation/tokenizer errors raise here without touching other
+        requests."""
+        req = Request(payload=self._adapter.prepare(prompt, negative_prompt,
+                                                    seed))
         self._q.put(req)
         if not req.done.wait(timeout):
+            req.abandoned = True  # worker will drop it instead of running it
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
@@ -145,20 +177,27 @@ class BatchingEngine:
     # -- worker ------------------------------------------------------------
 
     def _collect(self) -> list:
-        try:
-            first = self._q.get(timeout=0.1)
-        except queue.Empty:
-            return []
-        batch = [first]
-        deadline = time.monotonic() + self._max_wait
+        batch = []
+        deadline = None
         while len(batch) < self._batch:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
-            try:
-                batch.append(self._q.get(timeout=remaining))
-            except queue.Empty:
-                break
+            if deadline is None:
+                try:
+                    req = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    return batch
+            else:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return batch
+                try:
+                    req = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    return batch
+            if req.abandoned:
+                continue  # caller timed out while queued — shed the dead work
+            batch.append(req)
+            if deadline is None:
+                deadline = time.monotonic() + self._max_wait
         return batch
 
     def _run(self) -> None:
@@ -167,9 +206,10 @@ class BatchingEngine:
             if not batch:
                 continue
             n = len(batch)
-            rows = batch + [batch[-1]] * (self._batch - n)  # repeat-pad
+            rows = [r.payload for r in batch]
+            rows += [rows[-1]] * (self._batch - n)  # repeat-pad to static batch
             try:
-                imgs = self._run_batch(rows)
+                imgs = self._adapter.run(rows)
                 for i, r in enumerate(batch):
                     r.image = imgs[i]
                     r.done.set()

@@ -49,16 +49,22 @@ def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 prompt = req["prompt"]
                 negative = req.get("negative_prompt", "")
-                seed = int(req.get("seed", 0))
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                seed = int(req.get("seed", 0) or 0)
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
                 return
             t0 = time.time()
             try:
                 img = engine.submit(prompt, negative, seed,
                                     timeout=request_timeout)
+            except ValueError as e:  # adapter validation (e.g. seed range)
+                self._send(400, {"error": str(e)})
+                return
             except TimeoutError:
                 self._send(504, {"error": "generation timed out"})
                 return

@@ -16,7 +16,7 @@ import pytest
 
 from minddiffusion_tpu.pipelines.stable_diffusion import StableDiffusionPipeline
 from minddiffusion_tpu.serving import (
-    BatchingEngine, glide_run_batch, make_server, sd_run_batch)
+    BatchingEngine, GlideAdapter, SDAdapter, make_server)
 from tests.test_pipelines import tiny_models
 
 
@@ -35,8 +35,8 @@ def engine():
     fn = pipe.build_txt2img(height=64, width=64, num_steps=3, sampler="ddim",
                             guidance_scale=7.5, batch_size=4)
     f = models.latent_factor  # tiny VAE: 2, not the SD 8
-    run = sd_run_batch(fn, params, _tokenize, (64 // f, 64 // f))
-    eng = BatchingEngine(run, batch_size=4, max_wait_ms=30.0).start()
+    adapter = SDAdapter(fn, params, _tokenize, (64 // f, 64 // f))
+    eng = BatchingEngine(adapter, batch_size=4, max_wait_ms=30.0).start()
     yield eng
     eng.stop()
 
@@ -102,6 +102,7 @@ def test_http_roundtrip(engine):
                                       engine.submit("a cat", seed=7, timeout=300))
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_bad_request_400(engine):
@@ -117,6 +118,7 @@ def test_bad_request_400(engine):
         assert e.value.code == 400
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_glide_engine_determinism():
@@ -140,8 +142,8 @@ def test_glide_engine_determinism():
         ids = _tokenize(prompt)
         return ids, (ids != 0).astype(np.int32)
 
-    run = glide_run_batch(fn, params, tok_pair, stage="super_res")
-    eng = BatchingEngine(run, batch_size=2, max_wait_ms=30.0).start()
+    eng = BatchingEngine(GlideAdapter(fn, params, tok_pair, stage="super_res"),
+                         batch_size=2, max_wait_ms=30.0).start()
     try:
         solo = eng.submit("a cat", seed=7, timeout=600)
         assert solo.shape == (32, 32, 3) and solo.dtype == np.uint8
@@ -159,3 +161,31 @@ def test_glide_engine_determinism():
         assert not np.array_equal(solo, other)
     finally:
         eng.stop()
+
+
+def test_invalid_seed_fails_only_its_own_caller(engine):
+    """Validation runs in prepare() on the caller thread — a bad request must
+    raise locally and never poison a co-batched one."""
+    with pytest.raises(ValueError):
+        engine.submit("a cat", seed=-1, timeout=30)
+    img = engine.submit("a cat", seed=7, timeout=300)  # engine still healthy
+    assert img.shape == (64, 64, 3)
+
+
+def test_http_non_object_json_is_400(engine):
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        for body in (b'"hello"', b"[1,2]",
+                     b'{"prompt": "x", "seed": -4}',
+                     b'{"prompt": "x", "seed": "NaN"}'):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/txt2img", data=body,
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            assert e.value.code == 400, body
+    finally:
+        srv.shutdown()
+        srv.server_close()
