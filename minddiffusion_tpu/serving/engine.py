@@ -143,6 +143,10 @@ class BatchingEngine:
         self.batches_run = 0
         self.requests_served = 0
 
+    @property
+    def queue_depth(self) -> int:
+        return self._q.qsize()
+
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> "BatchingEngine":

@@ -36,7 +36,8 @@ def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
             if self.path == "/healthz":
                 self._send(200, {"ok": True,
                                  "requests_served": engine.requests_served,
-                                 "batches_run": engine.batches_run})
+                                 "batches_run": engine.batches_run,
+                                 "queue_depth": engine.queue_depth})
             elif self.path == "/v1/info":
                 self._send(200, info or {})
             else:
