@@ -189,3 +189,20 @@ def test_http_non_object_json_is_400(engine):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_engine_under_concurrent_load(engine):
+    """40 concurrent requests over a batch-4 program: all served, each
+    deterministic by its own seed (spot-check duplicates across batches)."""
+    results = [None] * 40
+    def worker(i):
+        results[i] = engine.submit(f"prompt {i % 5}", seed=i % 5, timeout=600)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(40)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and r.shape == (64, 64, 3) for r in results)
+    # same (prompt, seed) pairs must agree wherever they landed
+    for i in range(40):
+        np.testing.assert_array_equal(results[i], results[i % 5])
