@@ -415,3 +415,92 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
         for k in f.keys():
             out[k] = np.asarray(f.get_tensor(k), dtype=np.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# export: flax params -> LDM-layout state dict / .safetensors
+# ---------------------------------------------------------------------------
+
+def _invert(xform: Callable, x: np.ndarray) -> np.ndarray:
+    if xform is _t_conv:           # flax HWIO -> torch OIHW
+        return np.transpose(x, (3, 2, 0, 1))
+    if xform is _t_dense:
+        return np.transpose(x)
+    return np.asarray(x)
+
+
+def export_sd_checkpoint(
+    params: Dict[str, Any],
+    unet_config,
+    text_prefix: str = "cond_stage_model.model.",
+    dtype=np.float32,
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Inverse of convert_sd_checkpoint: {unet, vae, text} flax params ->
+    a flat LDM-layout state dict (torch OIHW convs / (out,in) denses), so
+    weights trained or LoRA-merged here can flow back to reference-ecosystem
+    tools. Returns (state_dict, report) — report lists any unmapped leaves
+    (e.g. LoRA adapter params, which have no LDM names; merge them first via
+    io.checkpoints.merge_params)."""
+    translators = {
+        "unet": unet_translator(unet_config),
+        "vae": vae_translator(),
+        "text": clip_translator(),
+    }
+    out: Dict[str, np.ndarray] = {}
+    report: List[str] = []
+    for model_kind, translate in translators.items():
+        if model_kind not in params:
+            continue
+        pref = _PREFIXES[model_kind]
+        if not isinstance(pref, str):
+            pref = text_prefix
+        for path, leaf in _flatten_our_tree(params[model_kind]).items():
+            r = translate(path)
+            if r is None:
+                report.append(f"not exported: {model_kind}/{'/'.join(path)}")
+                continue
+            name, xform = r
+            out[pref + name] = _invert(xform, np.asarray(leaf, dtype))
+    return out, report
+
+
+_SAFETENSORS_DTYPES = {
+    np.dtype(np.float32): "F32",
+    np.dtype(np.float16): "F16",
+    np.dtype(np.int32): "I32",
+    np.dtype(np.int64): "I64",
+    np.dtype(np.uint8): "U8",
+}
+
+
+def save_safetensors(state_dict: Dict[str, np.ndarray], path: str,
+                     metadata: Optional[Dict[str, str]] = None) -> None:
+    """Minimal safetensors writer (the format is 8-byte little-endian header
+    length + JSON header + concatenated row-major tensor bytes) — the load
+    side (load_safetensors above) is its own from-scratch reader, so the
+    round trip needs no external dependency."""
+    import json
+
+    header: Dict[str, Any] = {}
+    if metadata:
+        header["__metadata__"] = metadata
+    offset = 0
+    arrays = []
+    for name in sorted(state_dict):
+        arr = np.ascontiguousarray(state_dict[name])
+        if arr.dtype not in _SAFETENSORS_DTYPES:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name}")
+        n = arr.nbytes
+        header[name] = {
+            "dtype": _SAFETENSORS_DTYPES[arr.dtype],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + n],
+        }
+        offset += n
+        arrays.append(arr)
+    blob = json.dumps(header, separators=(",", ":")).encode()
+    with open(path, "wb") as f:
+        f.write(len(blob).to_bytes(8, "little"))
+        f.write(blob)
+        for arr in arrays:
+            f.write(arr.tobytes())

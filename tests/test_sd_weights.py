@@ -115,3 +115,30 @@ def test_missing_keys_reported(abstract):
     assert any(r.startswith("not loaded") for r in report)
     with pytest.raises(ValueError):
         sd_weights.convert_sd_checkpoint(state_dict, abstract, unet_cfg, strict=True)
+
+
+def test_export_roundtrip_through_safetensors(abstract, tmp_path):
+    """export_sd_checkpoint -> save_safetensors -> load_safetensors ->
+    convert_sd_checkpoint must reproduce every leaf bitwise."""
+    unet_cfg, _, _ = small_sd()
+    # real (random-init shaped) values: materialize the abstract tree
+    rng = np.random.RandomState(5)
+    params = jax.tree.map(
+        lambda l: jnp.asarray(rng.randn(*l.shape), jnp.float32), abstract)
+
+    sd, report = sd_weights.export_sd_checkpoint(params, unet_cfg)
+    assert not report, report[:10]
+
+    path = str(tmp_path / "export.safetensors")
+    sd_weights.save_safetensors(sd, path, metadata={"format": "pt"})
+    loaded = sd_weights.load_safetensors(path)
+    assert set(loaded) == set(sd)
+
+    back, report2 = sd_weights.convert_sd_checkpoint(loaded, abstract, unet_cfg)
+    assert not [r for r in report2 if r.startswith("not loaded")]
+    for kind, tree in back.items():
+        for path_, leaf in sd_weights._flatten_our_tree(tree).items():
+            np.testing.assert_array_equal(
+                np.asarray(leaf),
+                np.asarray(sd_weights._flatten_our_tree(params[kind])[path_]),
+                err_msg=f"{kind}/{'/'.join(path_)}")
