@@ -7,6 +7,16 @@ from typing import Optional
 import jax
 import numpy as np
 
+# Restore the JAX_PLATFORMS=cpu escape hatch for CLI subprocesses: the
+# container's sitecustomize force-registers the axon TPU platform and sets
+# jax_platforms="axon,cpu" regardless of the environment, so a user-supplied
+# JAX_PLATFORMS=cpu is silently ignored and the CLI blocks on a chip claim.
+# Only the exact "cpu" request is honored (the ambient default is "axon";
+# re-asserting that here would clobber in-process config.update calls, e.g.
+# the test conftest's CPU flip).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def build_sd(family: str, dtype_str: str = "bf16", tiny: bool = False,
              enable_lora: bool = False):
