@@ -40,6 +40,7 @@ from minddiffusion_tpu.models.glide import (
 )
 from minddiffusion_tpu.models.srgan import SRGANGenerator
 from minddiffusion_tpu.samplers import ancestral
+from minddiffusion_tpu.utils import xla_opts
 
 
 def create_glide_models(**kwargs) -> "GlideModels":
@@ -303,7 +304,7 @@ class GlideCascadePipeline:
                 out["srgan"] = _to_uint8(img1024)
             return out
 
-        return jax.jit(fn)
+        return xla_opts.jit(fn)
 
 
 def _to_uint8(x: jnp.ndarray) -> jnp.ndarray:

@@ -38,6 +38,7 @@ from minddiffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
 from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
 from minddiffusion_tpu.models.vae import AutoencoderKL, VAEConfig
 from minddiffusion_tpu.samplers import ddim, dpm_solver, plms
+from minddiffusion_tpu.utils import xla_opts
 
 
 def create_sd_models(**kwargs) -> "SDModels":
@@ -251,7 +252,7 @@ class StableDiffusionPipeline:
             return latents.unit_range_to_uint8(img)
 
         if mesh is None:
-            return jax.jit(fn)
+            return xla_opts.jit(fn)
         # Multi-chip serving: params replicated, request batch split over the
         # mesh's data axes — XLA partitions the whole program (the reference's
         # only scale-out story is running independent processes per chip).
@@ -267,7 +268,7 @@ class StableDiffusionPipeline:
             # prefix of the call args
             return fn(params, tokens, uncond_tokens, key)
 
-        return jax.jit(
+        return xla_opts.jit(
             fn_mesh,
             in_shardings=(repl, bsh, bsh, repl),
             out_shardings=bsh,
@@ -315,7 +316,7 @@ class StableDiffusionPipeline:
                               method=m.vae.decode)
             return latents.unit_range_to_uint8(img)
 
-        return jax.jit(fn)
+        return xla_opts.jit(fn)
 
     # -- inpaint (9-channel hybrid conditioning) ---------------------------
 
@@ -363,4 +364,4 @@ class StableDiffusionPipeline:
                               method=m.vae.decode)
             return latents.unit_range_to_uint8(img)
 
-        return jax.jit(fn)
+        return xla_opts.jit(fn)
