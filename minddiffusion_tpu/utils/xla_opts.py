@@ -19,12 +19,18 @@ import os
 import jax
 
 
+# Measured bench_flags.py winners ship here (TPU-only options; the dict is
+# ignored off-TPU where the backend would reject them). MDT_XLA_OPTS entries
+# override/extend these; MDT_XLA_OPTS=off disables everything.
+SHIPPED: dict = {}
+
+
 def compiler_options() -> dict | None:
-    """Parse MDT_XLA_OPTS ("k=v,k2=v2") into a compiler-options dict."""
+    """SHIPPED defaults merged with MDT_XLA_OPTS ("k=v,k2=v2")."""
     raw = os.environ.get("MDT_XLA_OPTS", "").strip()
-    if not raw:
+    if raw.lower() in ("off", "none"):
         return None
-    opts = {}
+    opts = dict(SHIPPED) if jax.default_backend() == "tpu" else {}
     for item in raw.split(","):
         item = item.strip()
         if not item:

@@ -18,6 +18,25 @@ def test_parse(monkeypatch):
         xla_opts.compiler_options()
 
 
+def test_shipped_defaults(monkeypatch):
+    # SHIPPED winners are TPU-only; on the CPU test backend they are ignored,
+    # but env entries still apply and "off" kills everything.
+    monkeypatch.setattr(xla_opts, "SHIPPED", {"xla_tpu_w": "true"})
+    monkeypatch.delenv("MDT_XLA_OPTS", raising=False)
+    assert xla_opts.compiler_options() is None  # cpu backend -> no SHIPPED
+    monkeypatch.setenv("MDT_XLA_OPTS", "xla_tpu_b=8")
+    assert xla_opts.compiler_options() == {"xla_tpu_b": "8"}
+    monkeypatch.setenv("MDT_XLA_OPTS", "off")
+    assert xla_opts.compiler_options() is None
+    # on a TPU backend SHIPPED would merge under env entries
+    monkeypatch.setattr(xla_opts.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("MDT_XLA_OPTS", "xla_tpu_b=8")
+    assert xla_opts.compiler_options() == {"xla_tpu_w": "true",
+                                           "xla_tpu_b": "8"}
+    monkeypatch.setenv("MDT_XLA_OPTS", "xla_tpu_w=false")
+    assert xla_opts.compiler_options() == {"xla_tpu_w": "false"}
+
+
 def test_passthrough_is_plain_jit(monkeypatch):
     monkeypatch.delenv("MDT_XLA_OPTS", raising=False)
     f = xla_opts.jit(lambda x: x + 1)
