@@ -21,6 +21,7 @@ from minddiffusion_tpu.train.glide_loss import glide_diffusion_loss
 from minddiffusion_tpu.train.ema import init_ema, update_ema
 from minddiffusion_tpu.train.loop import LossMonitor, ProfilerCallback
 from minddiffusion_tpu.core.schedules import make_beta_schedule, respace_schedule
+from minddiffusion_tpu.utils import xla_opts
 from minddiffusion_tpu.utils.config import parse_with_config, set_random_seed
 from minddiffusion_tpu.utils.logger import configure
 
@@ -113,7 +114,7 @@ def main(argv=None):
             return lambda x, t, tk, mk, low: model.apply(p, x, t, low, tk, mk)
         return lambda x, t, tk, mk: model.apply(p, x, t, tk, mk)
 
-    @jax.jit
+    @xla_opts.jit
     def step_fn(params, opt_state, ema, batch, rng):
         def loss_fn(p):
             fn = loss_model_fn(p)

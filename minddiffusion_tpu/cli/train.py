@@ -19,6 +19,7 @@ from minddiffusion_tpu.io.checkpoints import CheckpointManager
 from minddiffusion_tpu.parallel import mesh as mesh_lib
 from minddiffusion_tpu.train import TrainConfig, create_train_state, make_train_step
 from minddiffusion_tpu.train.loop import LossMonitor, ProfilerCallback, Trainer
+from minddiffusion_tpu.utils import xla_opts
 from minddiffusion_tpu.utils.config import parse_with_config, set_random_seed
 from minddiffusion_tpu.utils.logger import configure
 
@@ -100,8 +101,8 @@ def main(argv=None):
     mesh = mesh_lib.make_mesh(mesh_lib.MeshConfig(dp=args.dp, fsdp=args.fsdp))
     state = create_train_state(models, params, config)
     state = jax.device_put(state, mesh_lib.param_shardings(state, mesh))
-    step_fn = jax.jit(make_train_step(models, config, dreambooth=dreambooth),
-                      donate_argnums=(0,))
+    step_fn = xla_opts.jit(make_train_step(models, config, dreambooth=dreambooth),
+                           donate_argnums=(0,))
 
     callbacks = [LossMonitor(logger)]
     if args.enable_profiling:
