@@ -6,3 +6,9 @@ from minddiffusion_tpu.eval.clip_score import (  # noqa: F401
     clip_score_fn,
     preprocess_uint8,
 )
+from minddiffusion_tpu.eval.fid import (  # noqa: F401
+    clip_fid,
+    frechet_distance,
+    gaussian_stats,
+    image_features_fn,
+)
