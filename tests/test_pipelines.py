@@ -53,6 +53,17 @@ def test_txt2img_all_samplers(setup, sampler):
     assert not np.array_equal(np.asarray(img), np.asarray(img3))
 
 
+def test_txt2img_non_square(setup):
+    """Wide-aspect generation (the reference's wukong capacity claim is
+    2x 1024x768/chip, README_EN.md:59) — H != W through the whole program."""
+    models, params = setup
+    pipe = StableDiffusionPipeline(models)
+    fn = pipe.build_txt2img(height=96, width=64, num_steps=3, batch_size=2)
+    img = fn(params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(1))
+    assert img.shape == (2, 96, 64, 3) and img.dtype == jnp.uint8
+    assert np.isfinite(np.asarray(img).astype(np.float32)).all()
+
+
 def test_img2img(setup):
     models, params = setup
     pipe = StableDiffusionPipeline(models)
