@@ -1,23 +1,23 @@
-"""Opt-in XLA compiler options for the jitted pipeline programs.
+"""Opt-in XLA compiler options for the jitted pipeline/train programs.
 
 ``MDT_XLA_OPTS="xla_tpu_foo=true,xla_tpu_bar=8"`` threads per-program
-compiler options into every pipeline jit via
-``lower().compile(compiler_options=...)`` — the only channel that reliably
-reaches the compiler through the remote-compile tunnel (an ``XLA_FLAGS`` env
-var stays on the client side and never makes it into the compile request).
-This is how winners from ``benchmarks/bench_flags.py`` ship without code
-changes, and how ``bench_e2e_quick.py`` A/Bs option sets end-to-end.
+compiler options into every pipeline jit via ``jax.jit(compiler_options=...)``
+— the only channel that reliably reaches the compiler through the
+remote-compile tunnel (an ``XLA_FLAGS`` env var stays on the client side and
+never makes it into the compile request). This is how winners from
+``benchmarks/bench_flags.py`` ship without code changes, and how
+``bench_e2e_quick.py`` A/Bs option sets end-to-end.
 
-With the env unset, :func:`jit` is exactly ``jax.jit`` — zero overhead, no
-behavior change.
+With the env unset (and no SHIPPED winners), :func:`jit` is exactly
+``jax.jit`` — zero overhead, no behavior change, and crucially no backend
+initialization at construction time (a backend touch here would block on the
+pooled-TPU chip claim for host-only tooling).
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
-
 
 # Measured bench_flags.py winners ship here (TPU-only options; the dict is
 # ignored off-TPU where the backend would reject them). MDT_XLA_OPTS entries
@@ -30,7 +30,10 @@ def compiler_options() -> dict | None:
     raw = os.environ.get("MDT_XLA_OPTS", "").strip()
     if raw.lower() in ("off", "none"):
         return None
-    opts = dict(SHIPPED) if jax.default_backend() == "tpu" else {}
+    # Only consult the backend when there are SHIPPED winners to gate —
+    # jax.default_backend() initializes the backend, which on this container
+    # claims a pooled TPU chip. With SHIPPED empty the check must not run.
+    opts = dict(SHIPPED) if SHIPPED and jax.default_backend() == "tpu" else {}
     for item in raw.split(","):
         item = item.strip()
         if not item:
@@ -43,37 +46,15 @@ def compiler_options() -> dict | None:
     return opts or None
 
 
-def _aval_key(args):
-    leaves, treedef = jax.tree.flatten(args)
-    return treedef, tuple(
-        (l.shape, str(l.dtype)) if hasattr(l, "shape") else repr(l)
-        for l in leaves)
-
-
 def jit(fn, **jit_kwargs):
-    """``jax.jit`` that honors MDT_XLA_OPTS.
+    """``jax.jit`` that honors MDT_XLA_OPTS (+ SHIPPED winners on TPU).
 
-    Without the env var this IS ``jax.jit(fn, **jit_kwargs)``. With it, calls
-    dispatch through a per-signature cache of ``lower().compile(opts)``
-    programs (one entry per arg shape/dtype signature — pipeline programs
-    have exactly one). Sharding/donation kwargs pass through ``jax.jit`` and
-    survive the explicit lower/compile path.
+    jax.jit's native ``compiler_options`` parameter carries the options into
+    the executable build (same plumbing as ``lower().compile(...)``), so
+    dispatch, kwargs support, donation, and AOT ``.lower()`` introspection
+    are all stock jax.jit behavior.
     """
-    jitted = jax.jit(fn, **jit_kwargs)
     opts = compiler_options()
-    if not opts:
-        return jitted
-
-    cache: dict = {}
-
-    @functools.wraps(fn)
-    def call(*args):
-        key = _aval_key(args)
-        compiled = cache.get(key)
-        if compiled is None:
-            compiled = jitted.lower(*args).compile(compiler_options=opts)
-            cache[key] = compiled
-        return compiled(*args)
-
-    call.lower = jitted.lower  # keep AOT introspection available
-    return call
+    if opts:
+        return jax.jit(fn, compiler_options=opts, **jit_kwargs)
+    return jax.jit(fn, **jit_kwargs)

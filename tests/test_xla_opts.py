@@ -1,4 +1,4 @@
-"""MDT_XLA_OPTS plumbing: env parse, jax.jit passthrough, compiled dispatch."""
+"""MDT_XLA_OPTS plumbing: env parse, SHIPPED gating, jit behavior."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,28 +37,27 @@ def test_shipped_defaults(monkeypatch):
     assert xla_opts.compiler_options() == {"xla_tpu_w": "false"}
 
 
-def test_passthrough_is_plain_jit(monkeypatch):
+def test_no_backend_touch_when_unset(monkeypatch):
+    """With no env and no SHIPPED, compiler_options must not initialize a
+    backend (on this container jax.default_backend() claims a TPU chip)."""
     monkeypatch.delenv("MDT_XLA_OPTS", raising=False)
+    monkeypatch.setattr(xla_opts, "SHIPPED", {})
+
+    def boom():  # pragma: no cover - should never run
+        raise AssertionError("backend touched")
+
+    monkeypatch.setattr(xla_opts.jax, "default_backend", boom)
+    assert xla_opts.compiler_options() is None
     f = xla_opts.jit(lambda x: x + 1)
     assert isinstance(f, type(jax.jit(lambda x: x)))
-    np.testing.assert_array_equal(np.asarray(f(jnp.zeros(3))), np.ones(3))
 
 
-def test_compiled_dispatch_and_cache(monkeypatch):
+def test_options_jit_keeps_jit_surface(monkeypatch):
     # xla_backend_optimization_level is accepted by the CPU backend too
     monkeypatch.setenv("MDT_XLA_OPTS", "xla_backend_optimization_level=1")
-    calls = [0]
-
-    def fn(x):
-        calls[0] += 1
-        return x * 2
-
-    f = xla_opts.jit(fn)
-    a = f(jnp.ones((4,)))
-    b = f(jnp.ones((4,)))                    # same signature: cached program
-    c = f(jnp.ones((2, 2)))                  # new signature: second compile
-    np.testing.assert_array_equal(np.asarray(a), 2 * np.ones(4))
-    np.testing.assert_array_equal(np.asarray(b), 2 * np.ones(4))
-    np.testing.assert_array_equal(np.asarray(c), 2 * np.ones((2, 2)))
-    assert calls[0] == 2  # traced once per signature, never per call
+    f = xla_opts.jit(lambda x, s=1.0: x * s)
+    np.testing.assert_array_equal(np.asarray(f(jnp.ones(4))), np.ones(4))
+    # kwargs still work (a hand-rolled dispatch wrapper would lose them)
+    np.testing.assert_array_equal(np.asarray(f(jnp.ones(4), s=2.0)),
+                                  2 * np.ones(4))
     assert hasattr(f, "lower")
