@@ -40,8 +40,15 @@ def main() -> None:
         # Transient TPU-pool outage (axon backend raises UNAVAILABLE). A
         # failed PJRT init is cached for the process lifetime, so retry by
         # re-exec'ing in a fresh process until the wait budget runs out.
+        # Permanent init failures (unknown backend, bad plugin) fail fast —
+        # retrying those would just delay the driver's failure signal.
         import os
         import sys
+
+        transient = any(t in str(e) for t in
+                        ("UNAVAILABLE", "DEADLINE_EXCEEDED", "unavailable"))
+        if not transient:
+            raise
 
         start = float(os.environ.setdefault("MDT_BENCH_WAIT_START",
                                             str(t_start)))

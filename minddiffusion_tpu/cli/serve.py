@@ -78,6 +78,17 @@ def _build_sd_engine(args):
 
 
 def _build_glide_engine(args):
+    # SD-only geometry/sampler flags have no effect on the fixed
+    # 64->256->1024 cascade — warn instead of silently dropping them
+    _SD_ONLY = {"height": 512, "width": 512, "steps": 50,
+                "sampler": "ddim", "scale": 9.0}
+    dropped = [f"--{k}" for k, default in _SD_ONLY.items()
+               if getattr(args, k) != default]
+    if dropped:
+        print(f"[serve] WARNING: {', '.join(dropped)} ignored for "
+              f"--family glide (use --denoise_steps/--super_res_steps/"
+              f"--glide_scale; geometry is the fixed cascade)")
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -18,6 +18,7 @@ param_not_load printout, txt2img.py:58-59).
 """
 from __future__ import annotations
 
+import struct
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -408,12 +409,28 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
-    from safetensors import safe_open
+    """From-scratch safetensors reader (mirror of save_safetensors below):
+    8-byte little-endian header length, JSON header of
+    {name: {dtype, shape, data_offsets}}, concatenated row-major tensor
+    bytes. No safetensors-package dependency; float tensors are returned as
+    fp32 (bf16 decodes via ml_dtypes, which jax already ships)."""
+    import json
 
-    out = {}
-    with safe_open(path, framework="np") as f:
-        for k in f.keys():
-            out[k] = np.asarray(f.get_tensor(k), dtype=np.float32)
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        data = f.read()
+    out: Dict[str, np.ndarray] = {}
+    for name, spec in header.items():
+        if name == "__metadata__":
+            continue
+        a, b = spec["data_offsets"]
+        dt = _SAFETENSORS_TO_NUMPY[spec["dtype"]]
+        arr = np.frombuffer(data[a:b], dtype=dt).reshape(spec["shape"])
+        if np.issubdtype(np.dtype(dt) if not isinstance(dt, np.dtype) else dt,
+                         np.floating) or spec["dtype"] == "BF16":
+            arr = arr.astype(np.float32)
+        out[name] = arr
     return out
 
 
@@ -465,20 +482,43 @@ def export_sd_checkpoint(
 
 
 _SAFETENSORS_DTYPES = {
+    np.dtype(np.float64): "F64",
     np.dtype(np.float32): "F32",
     np.dtype(np.float16): "F16",
-    np.dtype(np.int32): "I32",
     np.dtype(np.int64): "I64",
+    np.dtype(np.int32): "I32",
+    np.dtype(np.int16): "I16",
+    np.dtype(np.int8): "I8",
     np.dtype(np.uint8): "U8",
+    np.dtype(np.bool_): "BOOL",
 }
+
+
+def _np_bf16():
+    import ml_dtypes  # shipped with jax
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
+class _LazyDtypeMap(dict):
+    # BF16 resolves lazily so importing this module never requires ml_dtypes
+    def __missing__(self, key):
+        if key == "BF16":
+            self[key] = _np_bf16()
+            return self[key]
+        raise KeyError(f"unsupported safetensors dtype {key!r}")
+
+
+_SAFETENSORS_TO_NUMPY = _LazyDtypeMap(
+    {v: k for k, v in _SAFETENSORS_DTYPES.items()})
 
 
 def save_safetensors(state_dict: Dict[str, np.ndarray], path: str,
                      metadata: Optional[Dict[str, str]] = None) -> None:
     """Minimal safetensors writer (the format is 8-byte little-endian header
-    length + JSON header + concatenated row-major tensor bytes) — the load
-    side (load_safetensors above) is its own from-scratch reader, so the
-    round trip needs no external dependency."""
+    length + JSON header + concatenated row-major tensor bytes); together
+    with load_safetensors above the round trip needs no external
+    dependency."""
     import json
 
     header: Dict[str, Any] = {}

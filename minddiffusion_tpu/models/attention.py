@@ -116,12 +116,14 @@ class CrossAttention(nn.Module):
             return False  # init declares the plain to_out dense params
         n = x.shape[1]
         # same VMEM budget shape as packed_attention's dispatch: K/V blocks
-        # (n*inner bf16 each, double-buffered) + a bq x n fp32 score tile +
+        # (n*inner each, double-buffered) + a bq x n fp32 score tile +
         # q/out tiles + the grid-resident W_o — stay under the kernel's 64M
         # vmem_limit_bytes with margin (large resolutions fall back to the
-        # unfused path instead of failing Mosaic's VMEM check)
-        vmem = (2 * n * inner * 2 * 2 + 256 * n * 4 + 256 * inner * 10
-                + inner * self.query_dim * 2)
+        # unfused path instead of failing Mosaic's VMEM check). Element size
+        # follows the activation dtype: fp32 models double every term.
+        esz = jnp.dtype(x.dtype).itemsize
+        vmem = (2 * n * inner * esz * 2 + 256 * n * 4 + 256 * inner * 5 * esz
+                + inner * self.query_dim * esz)
         return (context is None and not self.enable_lora
                 and self.attn_impl != "xla"
                 and inner == self.query_dim == x.shape[-1]

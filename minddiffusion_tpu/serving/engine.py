@@ -44,6 +44,15 @@ import numpy as np
 _MAX_SEED = 2**63 - 1  # Philox accepts any non-negative Python int; cap sanely
 
 
+class BatchExecutionError(RuntimeError):
+    """A worker-side batch failure — a SERVER fault, never the caller's input.
+
+    submit() wraps worker exceptions in this type so HTTP front ends can
+    map client-input errors (adapter.prepare raising on the caller thread,
+    e.g. ValueError for a bad seed) to 400 and batch failures to 500 without
+    guessing from the exception class the worker happened to raise."""
+
+
 @dataclass
 class Request:
     payload: dict
@@ -95,8 +104,11 @@ class GlideAdapter:
 
     `tokenize(prompt) -> (tokens, mask)` (padded_tokens_and_mask). GLIDE has
     no negative-prompt input (its uncond is random tokens); a request's
-    negative_prompt is ignored. `stage` picks which cascade output to serve.
+    negative_prompt is ignored — IGNORED_PARAMS lets front ends surface the
+    drop to the client. `stage` picks which cascade output to serve.
     """
+
+    IGNORED_PARAMS = ("negative_prompt",)
 
     def __init__(self, fn: Callable, params, tokenize: Callable[[str], tuple],
                  stage: str = "srgan"):
@@ -142,10 +154,20 @@ class BatchingEngine:
         # stats
         self.batches_run = 0
         self.requests_served = 0
+        self._abandoned_pending = 0   # timed-out requests still in the Queue
+        self._abandoned_lock = threading.Lock()
+
+    @property
+    def adapter(self):
+        return self._adapter
 
     @property
     def queue_depth(self) -> int:
-        return self._q.qsize()
+        """Live backlog: queued requests someone is still waiting on.
+        Abandoned (client-timed-out) entries sit in the Queue until the
+        worker drains them but represent zero future work — excluded so
+        monitoring doesn't see phantom load after a timeout storm."""
+        return max(0, self._q.qsize() - self._abandoned_pending)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -172,10 +194,17 @@ class BatchingEngine:
                                                     seed))
         self._q.put(req)
         if not req.done.wait(timeout):
-            req.abandoned = True  # worker will drop it instead of running it
+            # mark abandoned under the lock so the worker either drops it
+            # from the queue or observes the flag at finish time — the
+            # pending counter is decremented in exactly one of those places
+            with self._abandoned_lock:
+                if not req.done.is_set():
+                    req.abandoned = True
+                    self._abandoned_pending += 1
             raise TimeoutError("generation timed out")
         if req.error is not None:
-            raise req.error
+            raise BatchExecutionError(
+                f"batch execution failed: {req.error!r}") from req.error
         return req.image
 
     # -- worker ------------------------------------------------------------
@@ -198,6 +227,10 @@ class BatchingEngine:
                 except queue.Empty:
                     return batch
             if req.abandoned:
+                with self._abandoned_lock:
+                    self._abandoned_pending = max(
+                        0, self._abandoned_pending - 1)
+                    req.abandoned = False  # counted exactly once
                 continue  # caller timed out while queued — shed the dead work
             batch.append(req)
             if deadline is None:
@@ -216,10 +249,18 @@ class BatchingEngine:
                 imgs = self._adapter.run(rows)
                 for i, r in enumerate(batch):
                     r.image = imgs[i]
-                    r.done.set()
+                    self._finish(r)
                 self.batches_run += 1
                 self.requests_served += n
             except BaseException as e:  # noqa: BLE001 — fail the waiting callers
                 for r in batch:
                     r.error = e
-                    r.done.set()
+                    self._finish(r)
+
+    def _finish(self, req: Request) -> None:
+        """Set done under the abandonment lock: a caller that raced its
+        timeout against this finish is reconciled in the pending counter."""
+        with self._abandoned_lock:
+            if req.abandoned:
+                self._abandoned_pending = max(0, self._abandoned_pending - 1)
+            req.done.set()

@@ -17,7 +17,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from minddiffusion_tpu.serving.engine import BatchingEngine
+from minddiffusion_tpu.serving.engine import BatchExecutionError, BatchingEngine
 
 
 def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
@@ -54,17 +54,29 @@ def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
                     raise ValueError("body must be a JSON object")
                 prompt = req["prompt"]
                 negative = req.get("negative_prompt", "")
-                seed = int(req.get("seed", 0) or 0)
+                seed_raw = req.get("seed", 0)
+                if seed_raw is None:
+                    seed_raw = 0
+                if isinstance(seed_raw, bool) or not isinstance(
+                        seed_raw, (int, str)):
+                    raise ValueError(f"seed must be an integer, "
+                                     f"got {type(seed_raw).__name__}")
+                seed = int(seed_raw)  # int("") / int("x") raise -> 400
             except (KeyError, ValueError, TypeError,
                     json.JSONDecodeError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
                 return
+            ignored = [k for k in getattr(engine.adapter, "IGNORED_PARAMS",
+                                          ()) if req.get(k)]
             t0 = time.time()
             try:
                 img = engine.submit(prompt, negative, seed,
                                     timeout=request_timeout)
-            except ValueError as e:  # adapter validation (e.g. seed range)
-                self._send(400, {"error": str(e)})
+            except BatchExecutionError as e:  # worker fault -> server error
+                self._send(500, {"error": str(e)})
+                return
+            except ValueError as e:  # adapter.prepare validation (caller
+                self._send(400, {"error": str(e)})   # thread, client input)
                 return
             except TimeoutError:
                 self._send(504, {"error": "generation timed out"})
@@ -76,11 +88,14 @@ def make_server(engine: BatchingEngine, host: str = "0.0.0.0",
 
             buf = io.BytesIO()
             Image.fromarray(img).save(buf, format="PNG")
-            self._send(200, {
+            resp = {
                 "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
                 "latency_ms": round((time.time() - t0) * 1000, 1),
                 "seed": seed,
-            })
+            }
+            if ignored:
+                resp["ignored"] = ignored  # e.g. negative_prompt on GLIDE
+            self._send(200, resp)
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

@@ -117,6 +117,35 @@ def test_missing_keys_reported(abstract):
         sd_weights.convert_sd_checkpoint(state_dict, abstract, unet_cfg, strict=True)
 
 
+def test_safetensors_cross_compat_with_reference_package(tmp_path):
+    """Our from-scratch reader/writer must interoperate bitwise with the real
+    safetensors package (including bf16 via ml_dtypes)."""
+    st = pytest.importorskip("safetensors.numpy")
+    import ml_dtypes
+
+    d = {"a": np.arange(12, dtype=np.float32).reshape(3, 4),
+         "b": np.ones((2, 2), np.float16),
+         "c": np.arange(4, dtype=np.int64),
+         "d": np.ones((2,), ml_dtypes.bfloat16)}
+    theirs = str(tmp_path / "theirs.safetensors")
+    st.save_file(d, theirs, metadata={"format": "pt"})
+    out = sd_weights.load_safetensors(theirs)
+    assert set(out) == set(d)
+    np.testing.assert_array_equal(out["a"], d["a"])
+    np.testing.assert_array_equal(out["b"], d["b"].astype(np.float32))
+    np.testing.assert_array_equal(out["c"], d["c"])
+    np.testing.assert_array_equal(out["d"], np.ones((2,), np.float32))
+
+    ours = str(tmp_path / "ours.safetensors")
+    sd_weights.save_safetensors({"a": d["a"], "c": d["c"]}, ours,
+                                metadata={"format": "pt"})
+    from safetensors import safe_open
+
+    with safe_open(ours, framework="np") as f:
+        np.testing.assert_array_equal(f.get_tensor("a"), d["a"])
+        np.testing.assert_array_equal(f.get_tensor("c"), d["c"])
+
+
 def test_export_roundtrip_through_safetensors(abstract, tmp_path):
     """export_sd_checkpoint -> save_safetensors -> load_safetensors ->
     convert_sd_checkpoint must reproduce every leaf bitwise."""

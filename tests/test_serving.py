@@ -206,3 +206,80 @@ def test_engine_under_concurrent_load(engine):
     # same (prompt, seed) pairs must agree wherever they landed
     for i in range(40):
         np.testing.assert_array_equal(results[i], results[i % 5])
+
+
+def test_http_falsy_invalid_seed_is_400(engine):
+    """'' / [] / false seeds must 400, not silently coerce to seed 0
+    (code-review r2: the old `or 0` short-circuited before int())."""
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        for seed in ('""', "[]", "{}", "false", "null"):
+            body = ('{"prompt": "x", "seed": %s}' % seed).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/txt2img", data=body,
+                headers={"Content-Type": "application/json"})
+            if seed == "null":  # explicit null means "default", allowed
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    assert json.loads(resp.read())["seed"] == 0
+                continue
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            assert e.value.code == 400, seed
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_worker_fault_is_batch_execution_error():
+    """A failure inside adapter.run must surface as BatchExecutionError
+    (-> HTTP 500), never as the worker's raw exception class (a ValueError
+    there would masquerade as a client 400)."""
+    from minddiffusion_tpu.serving.engine import BatchExecutionError
+
+    class BoomAdapter:
+        def prepare(self, prompt, negative_prompt, seed):
+            return {"x": np.zeros(1)}
+
+        def run(self, payloads):
+            raise ValueError("ragged batch")  # a server-side fault
+
+    eng = BatchingEngine(BoomAdapter(), batch_size=2, max_wait_ms=5.0).start()
+    try:
+        with pytest.raises(BatchExecutionError):
+            eng.submit("a cat", seed=1, timeout=30)
+    finally:
+        eng.stop()
+
+
+def test_queue_depth_excludes_abandoned():
+    """Timed-out requests still sitting in the queue are dead work — the
+    /healthz backlog must not count them."""
+    import time as _time
+
+    release = threading.Event()
+
+    class SlowAdapter:
+        def prepare(self, prompt, negative_prompt, seed):
+            return {"i": seed}
+
+        def run(self, payloads):
+            release.wait(30)
+            return np.zeros((len(payloads), 4, 4, 3), np.uint8)
+
+    eng = BatchingEngine(SlowAdapter(), batch_size=1, max_wait_ms=1.0).start()
+    try:
+        # first request occupies the worker; the next two wait in the queue
+        t = threading.Thread(target=lambda: eng.submit("a", seed=0, timeout=60))
+        t.start()
+        _time.sleep(0.3)
+        for s in (1, 2):
+            with pytest.raises(TimeoutError):
+                eng.submit("b", seed=s, timeout=0.05)
+        assert eng.queue_depth == 0  # both abandoned -> no live backlog
+        release.set()
+        t.join(timeout=60)
+    finally:
+        release.set()
+        eng.stop()
