@@ -26,15 +26,17 @@ STEPS = 50
 
 
 def bench(name, fn, *args):
-    run = jax.jit(lambda a: jax.lax.scan(
-        lambda x, _: (fn(x, *args).astype(x.dtype), ()), a, None,
+    # k/v enter as jit ARGUMENTS (CLAUDE.md: closing arrays over jit bakes
+    # them in as program constants and bloats the remote compile)
+    run = jax.jit(lambda a, *rest: jax.lax.scan(
+        lambda x, _: (fn(x, *rest).astype(x.dtype), ()), a, None,
         length=STEPS)[0])
-    out = run(args_q)
+    out = run(args_q, *args)
     np.asarray(out[0, 0, 0])
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(args_q)
+        out = run(args_q, *args)
         np.asarray(out[0, 0, 0])
         ts.append(time.perf_counter() - t0)
     per = min(ts) / STEPS

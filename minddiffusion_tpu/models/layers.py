@@ -98,8 +98,11 @@ class Dense2D(nn.Dense):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # MDT_DENSE2D=1: flatten every 3D dot; =ds1: only the N>=4096 token
         # sites (the ds1 transformer, where the {2,0,1} relayout copies
-        # around XLA's conv-emitted dots are largest)
-        mode = os.environ.get("MDT_DENSE2D", "1")
+        # around XLA's conv-emitted dots are largest). Default "0" matches
+        # the dense() construction gate — the experiment is rejected-by-
+        # default (ROADMAP: Dense2D regressed e2e), so a directly
+        # constructed Dense2D must behave like nn.Dense.
+        mode = os.environ.get("MDT_DENSE2D", "0")
         flat = x.ndim > 2 and (mode == "1"
                                or (mode == "ds1" and x.shape[-2] >= 4096))
         if not flat:

@@ -139,24 +139,10 @@ def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5):
     as _split_group_norm_silu (tested equal to flax GroupNorm). Feeds the
     winograd kernel's fused GN+SiLU prologue (layers.conv3x3_dispatch gn=),
     which skips materializing the normalized activation in HBM."""
-    c = x.shape[-1]
-    groups = num_groups
-    while c % groups:
-        groups -= 1
-    gs = c // groups
-    b = x.shape[0]
     x32 = x.astype(jnp.float32)
-    s1 = jnp.sum(x32, axis=(1, 2))
-    s2 = jnp.sum(x32 * x32, axis=(1, 2))
-    n = x.shape[1] * x.shape[2] * gs
-    mu_g = s1.reshape(b, groups, gs).sum(-1) / n
-    ex2_g = s2.reshape(b, groups, gs).sum(-1) / n
-    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
-    mu_c = jnp.repeat(mu_g, gs, axis=-1)
-    inv_c = jnp.repeat(inv_g, gs, axis=-1)
-    mult = inv_c * scale[None]
-    add = bias[None] - mu_c * mult
-    return mult, add
+    return _gn_affine_from_sums(
+        jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2)),
+        x.shape[1] * x.shape[2], scale, bias, num_groups, eps)
 
 
 def _gn_affine_from_sums(s1, s2, n_spatial, scale, bias, num_groups=32,
@@ -198,27 +184,15 @@ def _split_gn_affine(parts, scale, bias, num_groups=32, eps=1e-5):
     """_gn_affine over the channel-concat of `parts` WITHOUT materializing the
     concat (split-concat resblocks): group moments from per-part partial
     sums, affine returned full-width for per-part slicing."""
-    c = sum(p.shape[-1] for p in parts)
-    groups = num_groups
-    while c % groups:
-        groups -= 1
-    gs = c // groups
-    b = parts[0].shape[0]
     stats = []
     for p in parts:
         x32 = p.astype(jnp.float32)
         stats.append((jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))))
     s1 = jnp.concatenate([s for s, _ in stats], axis=-1)
     s2 = jnp.concatenate([q for _, q in stats], axis=-1)
-    n = parts[0].shape[1] * parts[0].shape[2] * gs
-    mu_g = s1.reshape(b, groups, gs).sum(-1) / n
-    ex2_g = s2.reshape(b, groups, gs).sum(-1) / n
-    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
-    mu_c = jnp.repeat(mu_g, gs, axis=-1)
-    inv_c = jnp.repeat(inv_g, gs, axis=-1)
-    mult = inv_c * scale[None]
-    add = bias[None] - mu_c * mult
-    return mult, add
+    return _gn_affine_from_sums(
+        s1, s2, parts[0].shape[1] * parts[0].shape[2], scale, bias,
+        num_groups, eps)
 
 
 def _split_group_norm_silu(parts, scale, bias, num_groups=32, eps=1e-5):

@@ -110,6 +110,11 @@ def fused_ln_geglu_ff(
     pad = (-n) % bn
     xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
     grid = (b, (n + pad) // bn)
+    # the kernel's subtile loop covers exactly bn rows only when subtiles
+    # divides bn — otherwise the remainder rows would never be written
+    # (uninitialized VMEM in the output). Degrade to the largest divisor.
+    while subtiles > 1 and bn % subtiles:
+        subtiles -= 1
 
     out = pl.pallas_call(
         functools.partial(_ff_kernel, eps=eps, subtiles=subtiles),

@@ -253,7 +253,11 @@ def wino_chain_ok(h: int, w: int, c_mid: int) -> bool:
     h <= the default block_rows — and 128-aligned mid channels)."""
     import os
 
+    # chains exchange A-form tiles, which only the DMA+GN kernel path can
+    # produce/consume — the MDT_WINO_DMA=0 opt-out must disable chaining too
+    # (otherwise conv3x3_winograd's merged-I/O asserts fire)
     return (os.environ.get("MDT_WINO_CHAIN", "1") != "0"
+            and os.environ.get("MDT_WINO_DMA", "1") != "0"
             and h % 2 == 0 and w % 2 == 0 and h <= 48 and c_mid % 128 == 0)
 
 

@@ -78,3 +78,19 @@ def test_block_output_matches_fused_vs_unfused():
     y2 = BasicTransformerBlock(**kw, fuse_ff=True).apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ff_subtiles_not_dividing_rows():
+    """subtiles that don't divide the row block must degrade to a divisor,
+    not silently skip the remainder rows (code-review r2: bn=81, subtiles=8
+    left the last row as uninitialized VMEM)."""
+    c, f2, n = 64, 256, 81  # bn = 81, subtiles 8 -> must degrade
+    p = _random_ff_params(jax.random.PRNGKey(2), c, f2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, n, c), jnp.float32)
+    ref = _ff_reference(x, p["ln_scale"], p["ln_bias"], p["w1"], p["b1"],
+                        p["w2"], p["b2"], eps=1e-5)
+    got = fused_ln_geglu_ff(x, p["ln_scale"], p["ln_bias"], p["w1"], p["b1"],
+                            p["w2"], p["b2"], subtiles=8,
+                            interpret=True, force_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -346,3 +346,15 @@ def test_resblock_merged_chain_matches_module_path(monkeypatch):
                                        np.asarray(chained), rtol=1e-6,
                                        atol=1e-6)
     monkeypatch.undo()
+
+
+def test_wino_chain_disabled_with_dma_off(monkeypatch):
+    """MDT_WINO_DMA=0 must disable chaining too: merged A-form I/O exists
+    only on the DMA+GN kernel path (code-review r2: the opt-out previously
+    tripped conv3x3_winograd's merged-I/O asserts)."""
+    from minddiffusion_tpu.ops import winograd
+
+    monkeypatch.delenv("MDT_WINO_DMA", raising=False)
+    assert winograd.wino_chain_ok(16, 16, 1280)
+    monkeypatch.setenv("MDT_WINO_DMA", "0")
+    assert not winograd.wino_chain_ok(16, 16, 1280)
