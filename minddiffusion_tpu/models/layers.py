@@ -189,13 +189,16 @@ def fused_upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     return y
 
 
-def wino_route(h: int, w: int, c_in: int, c_out: int) -> bool:
+def wino_route(h: int, w: int, c_in: int, c_out: int,
+               itemsize: int = 2) -> bool:
     """True when a 3x3 conv at this shape dispatches to the Winograd Pallas
-    kernel (backend + measured shape rule + env opt-out)."""
+    kernel (backend + measured shape rule + env opt-out). `itemsize` is the
+    activation/weight element size the kernel will run at — fp32 callers
+    must pass 4 or the VMEM rule under-counts the resident U."""
     from minddiffusion_tpu.ops import winograd
 
     return (jax.default_backend() == "tpu"
-            and winograd.wino_wins(h, w, c_in, c_out)
+            and winograd.wino_wins(h, w, c_in, c_out, itemsize=itemsize)
             and os.environ.get("MDT_WINO", "1") != "0")
 
 
@@ -226,7 +229,8 @@ def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.nda
     else:
         _, h, w, c = x.shape
     features = kernel.shape[-1]
-    use_wino = wino_route(h, w, c, features)
+    use_wino = wino_route(h, w, c, features,
+                          itemsize=jnp.dtype(dtype).itemsize)
     x = x.astype(dtype)
     if bias is None:
         bias = jnp.zeros((features,), jnp.float32)
@@ -271,7 +275,8 @@ def hoisted_wino_u(module: nn.Module, name: str, kernel: jnp.ndarray,
     if module.has_variable("wino_u", name):
         return module.get_variable("wino_u", name)
     if (module.is_mutable_collection("wino_u")
-            and wino_route(x.shape[1], x.shape[2], kernel.shape[2], features)):
+            and wino_route(x.shape[1], x.shape[2], kernel.shape[2], features,
+                           itemsize=jnp.dtype(dtype).itemsize)):
         from minddiffusion_tpu.ops.winograd import transform_weights
 
         u = transform_weights(kernel).astype(dtype)

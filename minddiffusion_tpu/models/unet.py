@@ -251,12 +251,13 @@ class ResBlock(nn.Module):
         # GN+SiLU folded into the winograd conv as an in-kernel affine
         # prologue (no normalized activation materialized in HBM) wherever
         # the conv routes to the kernel; the module path otherwise.
+        esz = jnp.dtype(self.dtype).itemsize
         fuse_in = (not self.up and not self.down
                    and wino_route(x.shape[1], x.shape[2], in_ch,
-                                  self.out_channels))
+                                  self.out_channels, itemsize=esz))
         chain = (fuse_in
                  and wino_route(x.shape[1], x.shape[2], self.out_channels,
-                                self.out_channels)
+                                self.out_channels, itemsize=esz)
                  and wino_chain_ok(x.shape[1], x.shape[2], self.out_channels))
         h_m = None
         if fuse_in:
@@ -336,7 +337,8 @@ class ResBlock(nn.Module):
                                     gn=gn_oa, in_dims=(hh, ww))
 
         emb_out = emb_out[:, None, None, :]
-        fuse_out = wino_route(hh, ww, co, co)
+        fuse_out = wino_route(hh, ww, co, co,
+                              itemsize=jnp.dtype(self.dtype).itemsize)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             if fuse_out:
@@ -374,11 +376,12 @@ class ResBlock(nn.Module):
         groups = 32
         while in_ch % groups:
             groups -= 1
+        esz = jnp.dtype(self.dtype).itemsize
         fuse_in = (not self.up and not self.down
                    and (wino_route(x.shape[1], x.shape[2], cx,
-                                   self.out_channels)
+                                   self.out_channels, itemsize=esz)
                         or wino_route(x.shape[1], x.shape[2], skip.shape[-1],
-                                      self.out_channels)))
+                                      self.out_channels, itemsize=esz)))
         if fuse_in:
             # combined-stats GN folded to per-half affines; the winograd
             # halves take it as the in-kernel prologue, a non-wino half
@@ -412,11 +415,11 @@ class ResBlock(nn.Module):
         chain = (fuse_in and u0 is not None and u1 is not None
                  and gn0 is not None and gn1 is not None
                  and wino_route(x.shape[1], x.shape[2], cx,
-                                self.out_channels)
+                                self.out_channels, itemsize=esz)
                  and wino_route(x.shape[1], x.shape[2], skip.shape[-1],
-                                self.out_channels)
+                                self.out_channels, itemsize=esz)
                  and wino_route(x.shape[1], x.shape[2], self.out_channels,
-                                self.out_channels)
+                                self.out_channels, itemsize=esz)
                  and wino_chain_ok(x.shape[1], x.shape[2],
                                    self.out_channels))
         if chain:
@@ -451,7 +454,8 @@ class ResBlock(nn.Module):
         )(nn.silu(emb))
         emb_out = emb_out[:, None, None, :]
         fuse_out = wino_route(h.shape[1], h.shape[2], self.out_channels,
-                              self.out_channels)
+                              self.out_channels,
+                              itemsize=jnp.dtype(self.dtype).itemsize)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             if fuse_out:

@@ -46,15 +46,21 @@ def einsum_attention(
     return out.astype(q.dtype)
 
 
-@functools.lru_cache(maxsize=1)
-def _pallas_available() -> bool:
-    if jax.default_backend() != "tpu":
-        return False
+@functools.lru_cache(maxsize=4)
+def _pallas_importable() -> bool:
     try:
         from minddiffusion_tpu.ops import flash_attention  # noqa: F401
         return True
-    except Exception:  # pragma: no cover - import guard
+    except ImportError:  # pragma: no cover - exotic partial installs only
         return False
+
+
+def _pallas_available() -> bool:
+    # The backend is re-checked per call (NOT baked into the cache): the
+    # documented workflow flips jax_platforms in-process (CLAUDE.md), and a
+    # frozen first answer would either dispatch TPU kernels on CPU or
+    # silently disable them on TPU for the process lifetime.
+    return jax.default_backend() == "tpu" and _pallas_importable()
 
 
 def dot_product_attention(
@@ -79,6 +85,10 @@ def dot_product_attention(
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
+        if bias is not None:
+            raise ValueError(
+                "impl='pallas' does not support bias/masks — use impl='xla' "
+                "(the auto path routes biased attention there itself)")
         return _flash_ad(q, k, v,
                          float(scale) if scale is not None else q.shape[-1] ** -0.5)
     return einsum_attention(q, k, v, scale=scale, bias=bias)
@@ -213,8 +223,12 @@ def packed_attention(
         # bq256 runs the exact path ~10% faster than bq128 when the score
         # tile fits; fall back to 128 for long keys
         bq = 256 if 256 * nk * 4 <= 6 * 1024 * 1024 else 128
-        vmem = nk * c * 2 * 2 + bq * nk * 4 + bq * c * 6
-        if vmem <= _PACKED_VMEM_BUDGET + bq * nk * 4:
+        # enforced footprint: double-buffered K/V blocks + q/out tiles. The
+        # bq x nk fp32 score tile is deliberately EXCLUDED from the budget —
+        # it scales with the same nk the K/V term already gates on, and the
+        # shipped budget value was tuned e2e with this exact condition.
+        vmem = nk * c * 2 * 2 + bq * c * 6
+        if vmem <= _PACKED_VMEM_BUDGET:
             from minddiffusion_tpu.ops import flash_attention
 
             import os

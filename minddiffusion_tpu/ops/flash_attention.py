@@ -146,102 +146,10 @@ def _flash_bhnd(
     )(q, k, v)
 
 
-def _attn_kernel_bnhd(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                      scale: float, exact: bool):
-    """Same math as _attn_kernel but blocks are (1, bq, 1, D) slices of the
-    native (B, N, H, D) tensors — no host-level head transpose copies."""
-    k_idx = pl.program_id(3)
-    nk = pl.num_programs(3)
-    single = nk == 1
-
-    q = (q_ref[0, :, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-    k = k_ref[0, :, 0]
-    v = v_ref[0, :, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-
-    if single:
-        if exact:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-        else:
-            p = jnp.exp(s - _FAST_SHIFT)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, :, 0] = (acc / l).astype(o_ref.dtype)
-        return
-
-    @pl.when(k_idx == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    if exact:
-        m_prev = m_ref[:]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        p = jnp.exp(s - m_next[:, :1])
-        alpha = jnp.exp(m_prev - m_next)
-        l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(
-            jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
-        acc_ref[:] = acc_ref[:] * alpha[:, :1]
-        m_ref[:] = m_next
-    else:
-        p = jnp.exp(s - _FAST_SHIFT)
-        l_ref[:] += jnp.broadcast_to(jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
-
-    acc_ref[:] += jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(k_idx == nk - 1)
-    def _finalize():
-        o_ref[0, :, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "exact", "interpret"),
-)
-def _flash_bnhd(
-    q: jnp.ndarray,  # (B, Nq, H, D)
-    k: jnp.ndarray,  # (B, Nk, H, D)
-    v: jnp.ndarray,
-    scale: float,
-    block_q: int,
-    block_k: int,
-    exact: bool = True,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    b, nq, h, d = q.shape
-    nk = k.shape[1]
-    grid = (b, h, pl.cdiv(nq, block_q), pl.cdiv(nk, block_k))
-    kernel = functools.partial(_attn_kernel_bnhd, scale=scale, exact=exact)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda b_, h_, i, j: (b_, i, h_, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b_, h_, i, j: (b_, j, h_, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b_, h_, i, j: (b_, j, h_, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d), lambda b_, h_, i, j: (b_, i, h_, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nq, h, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * nq * nk * d,
-            bytes_accessed=2 * b * h * (nq + 2 * nk) * d,
-            transcendentals=b * h * nq * nk,
-        ),
-        interpret=interpret,
-    )(q, k, v)
+# A bnhd-blocked variant (_flash_bnhd: (1, bq, 1, D) BlockSpec slices of the
+# native (B, N, H, D) tensors, no host head-transpose) was measured at
+# 57 TFLOP/s vs 61 for the packed kernel at SD ds1 shapes and removed — the
+# packed layout below is strictly better; see README "Performance".
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, exact: bool,
@@ -464,7 +372,10 @@ def _packed_fold_kernel(q_ref, k_ref, v_ref, o_ref, va_ref, *, scale: float,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
         else:
-            p = jnp.exp(s)
+            # same static shift as every other exact=False variant: raw exp
+            # overflows fp32 at logit ~88, the shift extends headroom to ~108
+            # (measured a tie vs raw exp — ROADMAP "no-shift exp")
+            p = jnp.exp(s - _FAST_SHIFT)
         va = va_ref[:, 2 * h * head_dim: 2 * (h + 1) * head_dim]
         acc = jax.lax.dot_general(
             p.astype(va.dtype), va, (((1,), (0,)), ((), ())),
@@ -641,14 +552,6 @@ def _pad_tokens(x: jnp.ndarray, block: int) -> jnp.ndarray:
     pad = (-n) % block
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    return x
-
-
-def _pad_tokens4(x: jnp.ndarray, block: int) -> jnp.ndarray:
-    n = x.shape[1]
-    pad = (-n) % block
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
     return x
 
 

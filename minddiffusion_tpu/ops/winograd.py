@@ -277,7 +277,7 @@ def merged_channel_sums(h_m: jnp.ndarray, c: int):
 @functools.partial(
     jax.jit, static_argnames=("block_rows", "fp32_transform", "interpret",
                               "dma", "out_merged", "in_dims"))
-def conv3x3_winograd(
+def _conv3x3_winograd_jit(
     x: jnp.ndarray,        # (B, H, W, C_in); A-form (B, H, wcols, 2C_in) with in_dims
     kernel: jnp.ndarray,   # (3, 3, C_in, C_out) HWIO
     bias: Optional[jnp.ndarray] = None,
@@ -308,8 +308,6 @@ def conv3x3_winograd(
     overlapping halo windows via async copies instead of the host
     materializing a gathered tile array (see _wino_kernel_dma).
     """
-    import os
-
     premerged = in_dims is not None
     if premerged:
         h, w = in_dims
@@ -322,8 +320,6 @@ def conv3x3_winograd(
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     if bias is None:
         bias = jnp.zeros((c_out,), jnp.float32)
-    if dma is None:
-        dma = os.environ.get("MDT_WINO_DMA", "1") != "0"
     has_gn = gn_mult is not None
     if premerged or out_merged:
         # merged-chain I/O needs a SINGLE row tile (a premerged array has no
@@ -419,6 +415,27 @@ def conv3x3_winograd(
     return out[:, :h]
 
 
+def conv3x3_winograd(
+    x, kernel, bias=None, u=None, gn_mult=None, gn_add=None,
+    block_rows: int = 32, fp32_transform: bool = True,
+    interpret: bool = False, dma: Optional[bool] = None,
+    out_merged: bool = False, in_dims: Optional[tuple] = None,
+):
+    """Winograd F(2x2,3x3) conv — see _conv3x3_winograd_jit for the full
+    contract. This thin wrapper resolves the MDT_WINO_DMA env default
+    OUTSIDE the jit so the flag participates in the dispatch (an env read
+    inside the traced body is baked into the first trace and silently
+    ignored on later in-process flips — jit caches key on dma=None)."""
+    import os
+
+    if dma is None:
+        dma = os.environ.get("MDT_WINO_DMA", "1") != "0"
+    return _conv3x3_winograd_jit(
+        x, kernel, bias, u, gn_mult, gn_add, block_rows=block_rows,
+        fp32_transform=fp32_transform, interpret=interpret, dma=dma,
+        out_merged=out_merged, in_dims=in_dims)
+
+
 def _wino_pallas_dma(x_m, u, bias, gn_ops, *, b, h, hp, w, bh, n_tiles,
                      wcols, cp, c_out, dtype, fp32_transform, interpret,
                      premerged=False, wcols_out=0):
@@ -499,7 +516,8 @@ def _wino_pallas(x_t, u, bias, *, b, hp, w, bh, n_tiles, wcols, cp,
     )(x_t, u, bias.reshape(1, c_out).astype(jnp.float32))
 
 
-def wino_wins(h: int, w: int, c_in: int, c_out: int) -> bool:
+def wino_wins(h: int, w: int, c_in: int, c_out: int,
+              itemsize: int = 2) -> bool:
     """Static shape rule for where winograd measured faster than XLA's direct
     conv on v5e (benchmarks/bench_conv64.py, 100-step scans — the 20-step
     numbers carried a ~2 ms/step tunnel-dispatch bias that inflated every
@@ -512,7 +530,9 @@ def wino_wins(h: int, w: int, c_in: int, c_out: int) -> bool:
     import os
 
     cp = _round_up(c_in, 128)
-    weight_vmem = 16 * cp * c_out * 2          # bf16 U, grid-resident
+    # U is cast to the activation dtype in-kernel: fp32 models double the
+    # grid-resident footprint (itemsize=4), so fewer shapes qualify there
+    weight_vmem = 16 * cp * c_out * itemsize   # U, grid-resident
     c_min = int(os.environ.get("MDT_WINO_CMIN", "512"))  # A/B knob
     h_max = int(os.environ.get("MDT_WINO_HMAX", "48"))   # A/B knob: the early
     # kernel (host-pad halo, redundant shifted tile) lost at 64²x320; the

@@ -252,11 +252,10 @@ def conv3x3_winograd43_ad(x, kernel, bias):
     return conv3x3_winograd43(x, kernel, bias)
 
 
-def _direct_ref(x, kernel, bias):
-    y = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + bias.astype(y.dtype)
+# shared with F(2x2): same-dtype direct conv whose docs explain why the
+# output must NOT be preferred-fp32 (the lax conv transpose rule rejects
+# mixed-dtype cotangents during VJP)
+from minddiffusion_tpu.ops.winograd import _direct_ref  # noqa: E402
 
 
 def _wino43_fwd(x, kernel, bias):

@@ -120,7 +120,7 @@ def test_unet_wino_u_capture_roundtrip(monkeypatch):
 
     monkeypatch.setattr(
         layers, "wino_route",
-        lambda h, w, ci, co: h % 2 == 0 and w % 2 == 0)
+        lambda h, w, ci, co, **kw: h % 2 == 0 and w % 2 == 0)
     real = winograd.conv3x3_winograd
 
     def interp(x, kernel, bias=None, u=None, **kw):
@@ -226,10 +226,10 @@ def test_resblock_fused_gn_prologue_matches_module_path(monkeypatch):
             p = block.init(ks[2], *args)
             base = block.apply(p, *args)          # module GN path (no wino)
             monkeypatch.setattr(layers, "wino_route",
-                                lambda h, w, ci, co: h % 2 == 0 and w % 2 == 0)
+                                lambda h, w, ci, co, **kw: h % 2 == 0 and w % 2 == 0)
             fused = block.apply(p, *args)         # fused-prologue wino path
             monkeypatch.setattr(layers, "wino_route",
-                                lambda h, w, ci, co: False)
+                                lambda h, w, ci, co, **kw: False)
             np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                        rtol=3e-4, atol=3e-4)
     monkeypatch.undo()
@@ -332,14 +332,14 @@ def test_resblock_merged_chain_matches_module_path(monkeypatch):
             p = block.init(ks[2], *args)
             base = block.apply(p, *args)          # module GN path (no wino)
             monkeypatch.setattr(layers, "wino_route",
-                                lambda h, w, ci, co: h % 2 == 0 and w % 2 == 0)
+                                lambda h, w, ci, co, **kw: h % 2 == 0 and w % 2 == 0)
             # capture pass (computes hoisted U, engages the chain) ...
             chained, cap = block.apply(p, *args, mutable=["wino_u"])
             assert "wino_u" in cap and len(jax.tree.leaves(cap["wino_u"])) >= 2
             # ... then the feed-back pass the sampler scan uses
             chained2 = block.apply({**p, **cap}, *args)
             monkeypatch.setattr(layers, "wino_route",
-                                lambda h, w, ci, co: False)
+                                lambda h, w, ci, co, **kw: False)
             np.testing.assert_allclose(np.asarray(chained), np.asarray(base),
                                        rtol=2e-3, atol=2e-3)
             np.testing.assert_allclose(np.asarray(chained2),
@@ -358,3 +358,12 @@ def test_wino_chain_disabled_with_dma_off(monkeypatch):
     assert winograd.wino_chain_ok(16, 16, 1280)
     monkeypatch.setenv("MDT_WINO_DMA", "0")
     assert not winograd.wino_chain_ok(16, 16, 1280)
+
+def test_wino_shape_rule_fp32_itemsize():
+    """fp32 models double the grid-resident U footprint — shapes that fit in
+    bf16 can exceed the kernel's VMEM limit in fp32 and must be excluded
+    (code-review r2: the rule hardcoded 2-byte weights)."""
+    from minddiffusion_tpu.ops.winograd import wino_wins
+
+    assert wino_wins(16, 16, 1280, 1280, itemsize=2)      # 52 MB bf16 U
+    assert not wino_wins(16, 16, 1280, 1280, itemsize=4)  # 105 MB fp32 U
