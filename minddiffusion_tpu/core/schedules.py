@@ -73,6 +73,8 @@ def make_beta_schedule(
             n_timestep, lambda t: math.cos((t + cosine_s) / (1 + cosine_s) * math.pi / 2) ** 2
         )
     elif schedule == "quad":
+        # numerically identical to "linear" above (LDM's "linear" IS the
+        # sqrt-space ramp); kept as an explicit alias for config compat
         betas = np.linspace(linear_start**0.5, linear_end**0.5, n_timestep, dtype=np.float64) ** 2
     else:
         raise ValueError(f"unknown beta schedule: {schedule!r}")
@@ -159,7 +161,14 @@ class DiffusionSchedule:
             sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
             sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1)),
             posterior_variance=f32(posterior_variance),
-            posterior_log_variance_clipped=f32(np.log(np.maximum(posterior_variance, 1e-20))),
+            # t=0 entry clipped to pv[1], the GLIDE reference convention
+            # (gaussian_diffusion.py: log(append(pv[1], pv[1:]))). Its only
+            # consumers are GLIDE paths (ancestral learned-var interp, VLB
+            # loss at t==0); no SD path reads this table at t=0 (PLMS/DDIM/
+            # DPM never use it, and the SD lvlb weights already do w[0]:=w[1])
+            posterior_log_variance_clipped=f32(
+                np.log(np.append(posterior_variance[1], posterior_variance[1:]))
+                if T > 1 else np.log(np.maximum(posterior_variance, 1e-20))),
             posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
             posterior_mean_coef2=f32(
                 (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
@@ -220,11 +229,22 @@ def make_ddim_timesteps(
 
     Matches reference util.py:134-148 ("uniform": range(0, T, T//S) + 1).
     """
+    if not 1 <= num_ddim_timesteps <= num_ddpm_timesteps:
+        raise ValueError(
+            f"num_ddim_timesteps must be in [1, {num_ddpm_timesteps}], "
+            f"got {num_ddim_timesteps}")
     if method == "uniform":
         # For S | T this is exactly the reference's range(0, T, T//S)+1. For
         # non-dividing S the reference's arange overshoots and indexes out of
         # range; we instead always emit exactly S in-range steps.
         c = num_ddpm_timesteps // num_ddim_timesteps
+        if c == 1:
+            # S > T/2: the stride formula would compress the schedule to
+            # t <= S (and its +1 shift indexes out of range at S == T); an
+            # evenly spaced in-range subsequence spans the full chain
+            # (the reference crashes here — no parity to preserve).
+            return np.linspace(0, num_ddpm_timesteps - 1,
+                               num_ddim_timesteps).round().astype(np.int64)
         ts = np.arange(num_ddim_timesteps, dtype=np.int64) * c
     elif method == "quad":
         ts = (np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2).astype(

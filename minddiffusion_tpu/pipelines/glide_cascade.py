@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from minddiffusion_tpu.core.latents import unit_range_to_uint8
 from minddiffusion_tpu.core.schedules import (
     DiffusionSchedule,
     make_beta_schedule,
@@ -251,8 +252,13 @@ class GlideCascadePipeline:
                 xf_proj_c, xf_out_c = encode_base(tokens, mask)
 
                 def base_model_fn(x, t_orig, k_step):
-                    unc_tokens = jax.random.randint(
-                        k_step, (b, ctx), 1, vocab - 1, jnp.int32)
+                    # ONE random token row per step, broadcast across the
+                    # batch — the reference draws a single (ctx,) vector
+                    # (main_funcs.py:37) that guider.py broadcast_to's over
+                    # the uncond half; per-row draws would diverge for b>1
+                    unc_row = jax.random.randint(
+                        k_step, (ctx,), 1, vocab - 1, jnp.int32)
+                    unc_tokens = jnp.broadcast_to(unc_row, (b, ctx))
                     xf_proj_u, xf_out_u = encode_base(unc_tokens, unc_mask)
                     xf_proj2 = jnp.concatenate([xf_proj_c, xf_proj_u], axis=0)
                     xf_out2 = jnp.concatenate([xf_out_c, xf_out_u], axis=0)
@@ -308,4 +314,4 @@ class GlideCascadePipeline:
 
 
 def _to_uint8(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.round(jnp.clip((x + 1.0) * 127.5, 0, 255)).astype(jnp.uint8)
+    return unit_range_to_uint8(x)

@@ -182,6 +182,16 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
 
 def _run_sampler(sampler: str, eps_fn, x_T, schedule, num_steps, key,
                  mask=None, x0=None, t_start_index=None):
+    if t_start_index is not None and sampler != "ddim":
+        # img2img's mid-chain start is only implemented for DDIM (the
+        # reference ships no img2img at all; PLMS multistep history and the
+        # DPM solver tables are built for full chains) — refuse rather than
+        # silently run the full chain on a partially-noised latent
+        raise ValueError(
+            f"t_start_index (img2img strength<1) requires sampler='ddim', "
+            f"got {sampler!r}")
+    if sampler == "dpm_adaptive" and (mask is not None or x0 is not None):
+        raise ValueError("dpm_adaptive does not support mask/x0 blending")
     if sampler == "ddim":
         return ddim.sample(eps_fn, x_T, schedule, num_steps=num_steps, key=key,
                            mask=mask, x0=x0, t_start_index=t_start_index)
@@ -292,7 +302,13 @@ class StableDiffusionPipeline:
         convention).
         """
         m = self.models
+        if not 0.0 < strength <= 1.0:
+            raise ValueError(f"strength must be in (0, 1], got {strength}")
         t_enc = int(strength * num_steps)
+        if t_enc < 1:
+            raise ValueError(
+                f"strength={strength} rounds to 0 denoise steps at "
+                f"num_steps={num_steps} — raise strength or num_steps")
         tables = ddim.build_tables(m.schedule, num_steps)
         t_at = int(tables["t"][num_steps - t_enc])
 

@@ -24,8 +24,11 @@ import numpy as np
 EpsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def per_step_keys(key: Optional[jax.Array], n: int) -> jnp.ndarray:
-    """n independent PRNG keys as a scannable (n, 2) uint32 array.
+def per_step_keys(key: Optional[jax.Array], n) -> jnp.ndarray:
+    """`n` (an int or a shape tuple) independent PRNG keys, scannable on the
+    leading axis. Works for BOTH legacy (2,) uint32 keys (split returns
+    (*n, 2) uint32) and new-style typed keys (split returns a (*n,) key
+    array) — callers must index, never reshape, the trailing key dims.
 
     A sampler that never adds noise (eta=0 DDIM, PLMS, DPM-Solver) may pass
     key=None; we still need an array for scan shape-uniformity.

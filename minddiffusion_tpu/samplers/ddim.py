@@ -69,7 +69,7 @@ def sample(
     tables = {k: v[start:] for k, v in tables.items()}
     n = int(tables["t"].shape[0])
 
-    keys = common.per_step_keys(key, 2 * n).reshape(n, 2, 2)
+    keys = common.per_step_keys(key, (n, 2))  # typed-key safe
     blend = common.masked_blend_fn(
         mask, x0, schedule.sqrt_alphas_cumprod, schedule.sqrt_one_minus_alphas_cumprod
     )

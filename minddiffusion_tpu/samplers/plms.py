@@ -25,7 +25,6 @@ def sample(
     schedule: DiffusionSchedule,
     num_steps: int = 50,
     eta: float = 0.0,
-    temperature: float = 1.0,
     key: Optional[jax.Array] = None,
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,

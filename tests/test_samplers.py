@@ -249,3 +249,27 @@ def test_dpm_solver_order3(sched, x_star, x_T):
     T = dpm_solver.build_tables(sched, 15, order=3)
     assert T["o2"][0] == 0 and T["o3"][0] == 0 and T["o3"][1] == 0
     assert T["o3"][2] == 1
+
+
+def test_ddim_accepts_typed_prng_key(sched, x_star, x_T):
+    """New-style jax.random.key() (typed) must work alongside legacy
+    PRNGKey arrays (the old (n,2,2) reshape broke typed keys)."""
+    eps = make_oracle(sched, x_star)
+    legacy = ddim.sample(eps, x_T, sched, num_steps=10,
+                         key=jax.random.PRNGKey(3))
+    typed = ddim.sample(eps, x_T, sched, num_steps=10, key=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(typed))
+
+
+def test_run_sampler_guards():
+    """t_start_index with a non-ddim sampler and mask with dpm_adaptive must
+    raise, never silently run the wrong chain."""
+    import pytest
+
+    from minddiffusion_tpu.pipelines.stable_diffusion import _run_sampler
+
+    with pytest.raises(ValueError, match="ddim"):
+        _run_sampler("plms", None, None, None, 10, None, t_start_index=5)
+    with pytest.raises(ValueError, match="mask"):
+        _run_sampler("dpm_adaptive", None, None, None, 10, None,
+                     mask=np.ones(1))

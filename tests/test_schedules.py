@@ -130,3 +130,34 @@ def test_nondividing_ddim_steps_stay_in_range():
         ts = S.make_ddim_timesteps(s_count, 1000)
         assert ts.shape == (s_count,)
         assert ts.max() < 1000 and ts.min() >= 1
+
+
+def test_ddim_timesteps_edge_ranges():
+    """S == T and T/2 < S < T must emit S strictly in-range steps spanning
+    the chain (the reference's stride formula crashes at S == T and silently
+    compresses to t <= S otherwise); S out of [1, T] must raise."""
+    import pytest
+
+    from minddiffusion_tpu.core.schedules import make_ddim_timesteps
+
+    for S in (1000, 600, 501):
+        ts = make_ddim_timesteps(S, 1000)
+        assert ts.shape == (S,)
+        assert 0 <= ts.min() and ts.max() <= 999
+        assert ts.max() > 900, "must span the full chain"
+        assert (np.diff(ts) > 0).all()
+    with pytest.raises(ValueError):
+        make_ddim_timesteps(0, 1000)
+    with pytest.raises(ValueError):
+        make_ddim_timesteps(1001, 1000)
+
+
+def test_posterior_log_variance_t0_matches_glide_reference():
+    """Entry 0 is clipped to log(pv[1]) (GLIDE gaussian_diffusion.py
+    convention), not log(1e-20) — the VLB loss reads this at t==0."""
+    from minddiffusion_tpu.core.schedules import DiffusionSchedule
+
+    s = DiffusionSchedule.create(schedule="linear", n_timestep=100)
+    plv = np.asarray(s.posterior_log_variance_clipped)
+    np.testing.assert_allclose(plv[0], plv[1])
+    assert plv[0] > -30  # not the log(1e-20) floor
