@@ -305,6 +305,24 @@ class ResBlock(nn.Module):
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
         return x + h
 
+    def _emb_out(self, emb, width: int) -> jnp.ndarray:
+        """The per-resblock t-embedding projection. `emb` is either a plain
+        (B, D) array or the UNet's (vec, t, all) pack. Under the temb table
+        regime (pipelines MDT_TEMB): on the capture pass, tabulate the
+        projection over every schedule timestep; inside the sampler scan,
+        gather the 1 row for this step's (batch-uniform) t — bitwise equal
+        to projecting silu(vec), minus ~22 tiny GEMMs per step."""
+        proj = dense(width, self.dtype, name="emb_proj")
+        if not isinstance(emb, tuple):
+            return proj(nn.silu(emb))
+        vec, t, emb_all = emb
+        if emb_all is not None and self.is_mutable_collection("temb"):
+            self.put_variable("temb", "table", proj(nn.silu(emb_all)))
+        elif self.has_variable("temb", "table"):
+            table = self.get_variable("temb", "table")
+            return jnp.take(table, t[0].astype(jnp.int32), axis=0)[None]
+        return proj(nn.silu(vec))
+
     def _emb_norm_conv_out(self, h, merged: bool, emb: jnp.ndarray,
                            hh: int, ww: int) -> jnp.ndarray:
         """Shared t-emb + norm_out + conv_out tail (__call__ and the split
@@ -313,8 +331,7 @@ class ResBlock(nn.Module):
         into the affine (never materialized), and conv_out reads the merged
         form in place (ops/winograd in_dims path)."""
         co = self.out_channels
-        emb_out = dense(2 * co if self.use_scale_shift_norm else co,
-                        self.dtype, name="emb_proj")(nn.silu(emb))
+        emb_out = self._emb_out(emb, 2 * co if self.use_scale_shift_norm else co)
         if merged:
             s1, s2 = merged_channel_sums(h, co)
             gs2, gb2 = _GN32Params(co, name="norm_out")()
@@ -448,10 +465,10 @@ class ResBlock(nn.Module):
             # mega-fusion (xprof convert_reduce_fusion.510)
             h = jax.lax.optimization_barrier(h)
 
-        emb_out = dense(
-            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
-            self.dtype, name="emb_proj",
-        )(nn.silu(emb))
+        emb_out = self._emb_out(
+            emb,
+            2 * self.out_channels if self.use_scale_shift_norm
+            else self.out_channels)
         emb_out = emb_out[:, None, None, :]
         fuse_out = wino_route(h.shape[1], h.shape[2], self.out_channels,
                               self.out_channels,
@@ -550,6 +567,7 @@ class UNetModel(nn.Module):
         context: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None,
         cfg_fold: bool = False,
+        temb_steps: Optional[int] = None,
     ) -> jnp.ndarray:
         """cfg_fold=True: classifier-free-guidance dedup. `x`/`timesteps` come
         in at batch B while `context` is the [uncond; cond] fold at 2B; the
@@ -569,8 +587,20 @@ class UNetModel(nn.Module):
                 raise ValueError("cfg_fold is incompatible with class labels")
 
         t_emb = timestep_embedding(timesteps, cfg.model_channels)
-        emb = dense(time_embed_dim, cfg.dtype, name="time_embed_0")(t_emb.astype(cfg.dtype))
-        emb = dense(time_embed_dim, cfg.dtype, name="time_embed_2")(nn.silu(emb))
+        te0 = dense(time_embed_dim, cfg.dtype, name="time_embed_0")
+        te2 = dense(time_embed_dim, cfg.dtype, name="time_embed_2")
+        emb = te2(nn.silu(te0(t_emb.astype(cfg.dtype))))
+        # temb precompute regime (MDT_TEMB): the inference schedule's t values
+        # are static, so every per-resblock emb_proj GEMM is a pure function
+        # of t. On the capture pass (temb_steps given, "temb" mutable) each
+        # resblock tabulates its projection over ALL schedule timesteps; in
+        # the sampler scan it then does a 1-row gather instead of
+        # silu+GEMM (bitwise-identical rows).
+        emb_all = None
+        if (temb_steps is not None and y is None
+                and self.is_mutable_collection("temb")):
+            ta = timestep_embedding(jnp.arange(temb_steps), cfg.model_channels)
+            emb_all = te2(nn.silu(te0(ta.astype(cfg.dtype))))
         if cfg.num_classes is not None:
             # 'adm' class conditioning (openaimodel.py label_emb): y (B,) int
             if y is None:
@@ -584,6 +614,10 @@ class UNetModel(nn.Module):
             context = context.astype(cfg.dtype)
 
         res_block = nn.remat(ResBlock) if cfg.remat else ResBlock
+
+        # resblocks receive (vec, t, all) — `vec` is the live embedding (the
+        # fold below may widen it), `t`/`all` serve the temb table regime
+        epack = lambda: (emb, timesteps, emb_all)  # noqa: E731
 
         pending_fold = cfg_fold
 
@@ -610,7 +644,7 @@ class UNetModel(nn.Module):
                 ch = mult * cfg.model_channels
                 h = res_block(out_channels=ch, dtype=cfg.dtype,
                               use_scale_shift_norm=cfg.use_scale_shift_norm,
-                              name=f"down_{level}_{i}_res")(h, emb)
+                              name=f"down_{level}_{i}_res")(h, epack())
                 if ds in cfg.attention_resolutions:
                     h = transformer(h, ch, f"down_{level}_{i}_attn")
                 hs.append(h)
@@ -618,7 +652,7 @@ class UNetModel(nn.Module):
                 if cfg.resblock_updown:
                     h = res_block(out_channels=ch, dtype=cfg.dtype,
                                   use_scale_shift_norm=cfg.use_scale_shift_norm,
-                                  down=True, name=f"down_{level}_ds")(h, emb)
+                                  down=True, name=f"down_{level}_ds")(h, epack())
                 else:
                     h = Downsample(ch, cfg.dtype, name=f"down_{level}_ds")(h)
                 hs.append(h)
@@ -627,11 +661,11 @@ class UNetModel(nn.Module):
         # --- middle ---
         h = res_block(out_channels=ch, dtype=cfg.dtype,
                       use_scale_shift_norm=cfg.use_scale_shift_norm,
-                      name="mid_res1")(h, emb)
+                      name="mid_res1")(h, epack())
         h = transformer(h, ch, "mid_attn")
         h = res_block(out_channels=ch, dtype=cfg.dtype,
                       use_scale_shift_norm=cfg.use_scale_shift_norm,
-                      name="mid_res2")(h, emb)
+                      name="mid_res2")(h, epack())
         if pending_fold:
             raise ValueError("cfg_fold requires at least one spatial transformer")
 
@@ -648,16 +682,16 @@ class UNetModel(nn.Module):
                                 use_scale_shift_norm=cfg.use_scale_shift_norm,
                                 name=f"up_{level}_{i}_res")
                 if split_concat:
-                    h = blk(h, emb, skip)
+                    h = blk(h, epack(), skip)
                 else:
-                    h = blk(jnp.concatenate([h, skip], axis=-1), emb)
+                    h = blk(jnp.concatenate([h, skip], axis=-1), epack())
                 if ds in cfg.attention_resolutions:
                     h = transformer(h, ch, f"up_{level}_{i}_attn")
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
                         h = res_block(out_channels=ch, dtype=cfg.dtype,
                                       use_scale_shift_norm=cfg.use_scale_shift_norm,
-                                      up=True, name=f"up_{level}_us")(h, emb)
+                                      up=True, name=f"up_{level}_us")(h, epack())
                     else:
                         h = Upsample(ch, cfg.dtype, name=f"up_{level}_us")(h)
                     ds //= 2
