@@ -11,7 +11,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,7 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
-from minddiffusion_tpu.ops.conv3x3 import conv3x3_gemm, conv3x3_pallas  # noqa: E402
+from benchmarks.research.conv3x3 import conv3x3_gemm, conv3x3_pallas  # noqa: E402
 from minddiffusion_tpu.ops.winograd import conv3x3_winograd  # noqa: E402
 
 STEPS = 20

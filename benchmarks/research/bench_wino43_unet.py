@@ -11,7 +11,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
 from minddiffusion_tpu.ops.winograd import conv3x3_winograd  # noqa: E402
-from minddiffusion_tpu.ops.winograd43 import conv3x3_winograd43  # noqa: E402
+from benchmarks.research.winograd43 import conv3x3_winograd43  # noqa: E402
 
 STEPS = 20
 

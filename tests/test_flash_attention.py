@@ -80,7 +80,7 @@ def test_fast_softmax_matches_exact():
 
 
 def test_conv3x3_kernel_parity():
-    from minddiffusion_tpu.ops.conv3x3 import conv3x3_pallas
+    from benchmarks.research.conv3x3 import conv3x3_pallas
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16, 32))
     k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 32, 64)) * 0.1
