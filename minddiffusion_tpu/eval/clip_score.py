@@ -57,8 +57,19 @@ class CLIPScoreConfig:
 
     @classmethod
     def vit_h14(cls, dtype=jnp.float32) -> "CLIPScoreConfig":
+        # FULL OpenCLIP ViT-H text tower: 24 layers (SD2's encoder is the
+        # same tower truncated to 23) and exact erf GELU — eval weights come
+        # straight from an OpenCLIP checkpoint, not from an SD checkpoint.
         return cls(vision=CLIPVisionConfig.vit_h14(dtype=dtype),
-                   text=CLIPTextConfig.sd2_en(dtype=dtype))
+                   text=CLIPTextConfig(width=1024, layers=24, heads=16,
+                                       use_exact_gelu=True, dtype=dtype))
+
+    @classmethod
+    def vit_l14(cls, dtype=jnp.float32) -> "CLIPScoreConfig":
+        """OpenAI ViT-L/14 (the SD1/wukong pair) — quick-GELU towers."""
+        return cls(vision=CLIPVisionConfig.vit_l14(dtype=dtype),
+                   text=CLIPTextConfig(width=768, layers=12, heads=12,
+                                       use_quick_gelu=True, dtype=dtype))
 
     @classmethod
     def tiny(cls) -> "CLIPScoreConfig":

@@ -28,7 +28,8 @@ def gaussian_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     f = np.asarray(features, np.float64)
     if f.ndim != 2 or f.shape[0] < 2:
         raise ValueError(f"need (N>=2, D) features, got {f.shape}")
-    return f.mean(axis=0), np.cov(f, rowvar=False)
+    # np.cov collapses D=1 to a 0-d array; keep the (D, D) contract
+    return f.mean(axis=0), np.atleast_2d(np.cov(f, rowvar=False))
 
 
 def _psd_sqrt(mat: np.ndarray, eps: float = 1e-12) -> np.ndarray:

@@ -34,6 +34,13 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * nn.sigmoid(1.702 * x)
 
 
+def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """erf GELU (torch nn.GELU default) — OpenCLIP towers use this; the
+    reference's SD2 "QuickGELU" is actually MindSpore nn.GELU, i.e. the TANH
+    approximation (text_encoder.py:67-69), which flax nn.gelu matches."""
+    return nn.gelu(x, approximate=False)
+
+
 @struct.dataclass
 class CLIPTextConfig:
     vocab_size: int = 49408
@@ -42,6 +49,9 @@ class CLIPTextConfig:
     heads: int = 16
     context_length: int = 77
     use_quick_gelu: bool = False
+    # exact erf GELU for OpenCLIP-weight parity (eval towers); generation
+    # towers keep the tanh approximation for reference-checkpoint parity
+    use_exact_gelu: bool = False
     dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
     @classmethod
@@ -111,7 +121,8 @@ class CLIPTextEncoder(nn.Module):
         causal = np.triu(np.full((l, l), -np.inf, dtype=np.float32), 1)
         bias = jnp.asarray(causal)[None, None]  # (1, 1, L, L), additive fp32
 
-        act = quick_gelu if cfg.use_quick_gelu else nn.gelu
+        act = (quick_gelu if cfg.use_quick_gelu
+               else exact_gelu if cfg.use_exact_gelu else nn.gelu)
         for i in range(cfg.layers):
             x = ResidualAttentionBlock(cfg.heads, act, cfg.dtype, name=f"resblock_{i}")(
                 x, bias

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-from minddiffusion_tpu.models.clip import ResidualAttentionBlock
+from minddiffusion_tpu.models.clip import (ResidualAttentionBlock, exact_gelu,
+                                            quick_gelu)
 from minddiffusion_tpu.models.layers import LayerNormFp32
 
 Dtype = Any
@@ -36,6 +37,9 @@ class CLIPVisionConfig:
     layers: int = 32
     heads: int = 16
     embed_dim: int = 1024          # joint text/image space
+    # OpenAI-trained CLIP ViTs (L/14) use QuickGELU; laion OpenCLIP (H/14)
+    # uses exact erf GELU
+    use_quick_gelu: bool = False
     dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
     @classmethod
@@ -46,6 +50,7 @@ class CLIPVisionConfig:
     @classmethod
     def vit_l14(cls, **kw) -> "CLIPVisionConfig":
         """OpenAI/OpenCLIP ViT-L/14 (the SD1/wukong pair)."""
+        kw.setdefault("use_quick_gelu", True)
         return cls(width=1024, layers=24, heads=16, embed_dim=768, **kw)
 
     @property
@@ -80,8 +85,11 @@ class CLIPVisionEncoder(nn.Module):
 
         x = LayerNormFp32(name="ln_pre")(x).astype(cfg.dtype)
         zero_bias = jnp.zeros((1, 1, 1, x.shape[1]), jnp.float32)
+        # exact erf GELU (torch nn.GELU) for laion OpenCLIP weights, QuickGELU
+        # for OpenAI-trained ones — this tower exists to carry those weights
+        act = quick_gelu if cfg.use_quick_gelu else exact_gelu
         for i in range(cfg.layers):
-            x = ResidualAttentionBlock(cfg.heads, nn.gelu, cfg.dtype,
+            x = ResidualAttentionBlock(cfg.heads, act, cfg.dtype,
                                        name=f"resblock_{i}")(x, zero_bias)
         pooled = LayerNormFp32(name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(cfg.width ** -0.5),

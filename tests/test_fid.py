@@ -31,6 +31,32 @@ def test_isotropic_scale_analytic():
     np.testing.assert_allclose(d, D * (1 - s) ** 2, atol=1e-9)
 
 
+def test_noncommuting_covariances_hand_value():
+    # C1 = diag(2, 1), C2 = diag(1, 2): tr(C1+C2) = 6 and
+    # sqrtm(C1 C2) = sqrt(2) I, so d^2 = 6 - 4*sqrt(2) exactly
+    mu = np.zeros(2)
+    d = fid.frechet_distance(mu, np.diag([2.0, 1.0]), mu, np.diag([1.0, 2.0]))
+    np.testing.assert_allclose(d, 6.0 - 4.0 * np.sqrt(2.0), atol=1e-9)
+
+
+def test_rotation_invariance():
+    # Fréchet distance is invariant under a shared orthogonal transform
+    rng = np.random.RandomState(9)
+    a, b = rng.randn(400, 5), rng.randn(400, 5) * 1.3 + 0.2
+    q, _ = np.linalg.qr(rng.randn(5, 5))
+    np.testing.assert_allclose(fid.clip_fid(a @ q, b @ q), fid.clip_fid(a, b),
+                               rtol=1e-8)
+
+
+def test_exact_stats_two_point_sets():
+    # {m+d, m-d} has mean m and (ddof=1) covariance 2 d d^T exactly; with
+    # 1-D features d^2 = (m1-m2)^2 + (s1-s2)^2 by hand
+    s1 = np.array([[1.0], [3.0]])     # mean 2, var 2
+    s2 = np.array([[4.0], [8.0]])     # mean 6, var 8
+    expected = (6.0 - 2.0) ** 2 + (np.sqrt(8.0) - np.sqrt(2.0)) ** 2
+    np.testing.assert_allclose(fid.clip_fid(s1, s2), expected, atol=1e-9)
+
+
 def test_symmetry_and_nonneg():
     rng = np.random.RandomState(2)
     a, b = rng.randn(300, 12), rng.randn(300, 12) * 1.5 + 0.3
