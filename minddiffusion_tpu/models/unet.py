@@ -310,8 +310,11 @@ class ResBlock(nn.Module):
         (B, D) array or the UNet's (vec, t, all) pack. Under the temb table
         regime (pipelines MDT_TEMB): on the capture pass, tabulate the
         projection over every schedule timestep; inside the sampler scan,
-        gather the 1 row for this step's (batch-uniform) t — bitwise equal
-        to projecting silu(vec), minus ~22 tiny GEMMs per step."""
+        gather the 1 row for this step's (batch-uniform) t — numerically
+        identical to projecting silu(vec) (bitwise on CPU; TPU matmul tiling
+        for the batched table GEMM is not guaranteed bit-equal), minus ~22
+        tiny GEMMs per step. Measured e2e NEUTRAL (r3 A/B: 1.9109 vs 1.9088
+        img/s) — stays opt-in."""
         proj = dense(width, self.dtype, name="emb_proj")
         if not isinstance(emb, tuple):
             return proj(nn.silu(emb))
@@ -320,6 +323,11 @@ class ResBlock(nn.Module):
             self.put_variable("temb", "table", proj(nn.silu(emb_all)))
         elif self.has_variable("temb", "table"):
             table = self.get_variable("temb", "table")
+            # INVARIANT: t is a schedule timestep in [0, temb_steps) — the
+            # table regime is only enabled by the ddim/plms pipelines, whose
+            # scans feed in-range int32 timesteps (this jnp.take would
+            # silently clamp an out-of-range t; a sampler with synthetic /
+            # continuous t must not enable MDT_TEMB).
             return jnp.take(table, t[0].astype(jnp.int32), axis=0)[None]
         return proj(nn.silu(vec))
 

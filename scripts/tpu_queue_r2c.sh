@@ -7,6 +7,8 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/minddiffusion_jax_cache
 LOG=/tmp/tpu_queue_r2c.log
+: > "$LOG"   # truncate: queue 2 greps this log for the done marker; a stale
+             # marker from a previous run must not start it early
 echo "=== tpu_queue_r2c start $(date -u +%FT%TZ) ===" | tee -a "$LOG"
 
 run() {
@@ -19,7 +21,7 @@ run python benchmarks/bench_e2e_quick.py baseline_repin
 
 # 2. ds1-winograd re-test: the 64²x320 rejection predates the no-xs + DMA-halo
 #    kernel; widen the gate and A/B
-MDT_WINO_HMAX=64 MDT_WINO_CMIN=320 run env MDT_WINO_HMAX=64 MDT_WINO_CMIN=320 \
+run env MDT_WINO_HMAX=64 MDT_WINO_CMIN=320 \
   python benchmarks/bench_e2e_quick.py wino_ds1
 
 # 3. XLA compiler-option sweep, wave 1
