@@ -9,6 +9,13 @@ our equivalent: steps/s and train-img/s for
 Latent-cached batches (the loader can pre-encode; VAE encode is not the
 number under test) + tokenized text. Usage:
   python benchmarks/bench_train_step.py [lora|full] [batch]
+  python benchmarks/bench_train_step.py fsdp_mem    # no TPU needed
+
+`fsdp_mem` prints the per-device param/optimizer HBM table for the full-scale
+SD2 train state across FSDP degrees (abstract eval_shape + the live sharding
+rules from parallel/mesh.py — exact byte math, no arrays materialized). This
+is the memory-scaling record explaining the measured single-chip result
+(full-finetune b8 OOMs one 16 GB v5e at fsdp=1, r3 queue log).
 """
 from __future__ import annotations
 
@@ -29,8 +36,58 @@ from minddiffusion_tpu.train.trainer import (  # noqa: E402
     TrainConfig, create_train_state, make_train_step)
 
 
+def _tree_bytes(tree) -> int:
+    return sum(int(np.prod(getattr(l, "shape", ()))) * np.dtype(l.dtype).itemsize
+               for l in jax.tree.leaves(tree)
+               if hasattr(l, "dtype") and getattr(l, "shape", None) is not None)
+
+
+def fsdp_mem_report():
+    """Per-device param/optimizer bytes vs FSDP degree (abstract, CPU-only)."""
+    import types
+
+    jax.config.update("jax_platforms", "cpu")
+    from minddiffusion_tpu.parallel import mesh as mesh_lib
+
+    models = SDModels.create(family="sd2", dtype=jnp.bfloat16)
+    params = jax.eval_shape(
+        lambda r: models.init_params(r, height=512, width=512),
+        jax.random.PRNGKey(0))
+    cfg = TrainConfig(trainable="unet")
+    state = jax.eval_shape(lambda p: create_train_state(models, p, cfg), params)
+
+    def per_device(tree, fsdp):
+        mesh = types.SimpleNamespace(shape={"dp": 8 // fsdp, "fsdp": fsdp, "tp": 1})
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            shape = getattr(leaf, "shape", None)
+            if shape is None or not hasattr(leaf, "dtype"):
+                continue
+            nbytes = int(np.prod(shape)) * np.dtype(leaf.dtype).itemsize
+            spec = mesh_lib._param_spec(mesh_lib._path_str(path), leaf, mesh)
+            div = 1
+            for ax in spec:
+                if ax is not None:
+                    div *= mesh.shape[ax]
+            total += -(-nbytes // div)
+        return total
+
+    gib = 1024 ** 3
+    print(f"full-scale SD2 train state (trainable=unet, fp32 master+adam):")
+    print(f"  params total        {_tree_bytes(state.params)/gib:.2f} GiB")
+    print(f"  optimizer state     {_tree_bytes(state.opt_state)/gib:.2f} GiB")
+    for fsdp in (1, 2, 4, 8):
+        p = per_device(state.params, fsdp)
+        o = per_device(state.opt_state, fsdp)
+        print(f"  fsdp={fsdp}: per-device params {p/gib:.2f} GiB + opt "
+              f"{o/gib:.2f} GiB = {(p+o)/gib:.2f} GiB")
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "lora"
+    if mode == "fsdp_mem":
+        fsdp_mem_report()
+        return
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else (8 if mode == "lora" else 2)
 
     models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
@@ -43,6 +100,10 @@ def main():
     cfg = TrainConfig(trainable=("lora" if mode == "lora" else "unet"))
     state = create_train_state(models, params, cfg)
     jax.block_until_ready(state.params)
+    gib = 1024 ** 3
+    print(f"[{mode} b{batch_size}] params {_tree_bytes(state.params)/gib:.2f} GiB"
+          f" + opt state {_tree_bytes(state.opt_state)/gib:.2f} GiB HBM",
+          file=sys.stderr)
 
     step = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
     batch = {
