@@ -26,20 +26,22 @@ from minddiffusion_tpu.pipelines.stable_diffusion import SDModels, StableDiffusi
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    res = int(os.environ.get("MDT_BENCH_RES", "512"))
+    batch = int(os.environ.get("MDT_BENCH_BATCH", "8"))
     trace_dir = "/tmp/sd2_trace"
     os.system(f"rm -rf {trace_dir}")
 
     models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
                              attn_impl=os.environ.get("MDT_PROF_ATTN") or None)
-    params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
+    params = jax.jit(lambda r: models.init_params(r, height=res, width=res))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     pipe = StableDiffusionPipeline(models)
-    fn = pipe.build_txt2img(height=512, width=512, num_steps=steps,
-                            sampler="ddim", guidance_scale=9.0, batch_size=8)
-    tokens = jnp.ones((8, 77), jnp.int32)
-    uncond = jnp.zeros((8, 77), jnp.int32)
+    fn = pipe.build_txt2img(height=res, width=res, num_steps=steps,
+                            sampler="ddim", guidance_scale=9.0, batch_size=batch)
+    tokens = jnp.ones((batch, 77), jnp.int32)
+    uncond = jnp.zeros((batch, 77), jnp.int32)
 
     img = fn(params, tokens, uncond, jax.random.PRNGKey(1))
     np.asarray(img[0, 0, 0])
@@ -48,7 +50,8 @@ def main():
     img = fn(params, tokens, uncond, jax.random.PRNGKey(2))
     np.asarray(img[0, 0, 0])
     wall = time.time() - t0
-    print(f"steady-state wall for {steps} steps batch 8: {wall:.3f}s", file=sys.stderr)
+    print(f"steady-state wall for {steps} steps batch {batch} at {res}²: "
+          f"{wall:.3f}s", file=sys.stderr)
 
     jax.profiler.start_trace(trace_dir)
     img = fn(params, tokens, uncond, jax.random.PRNGKey(3))
