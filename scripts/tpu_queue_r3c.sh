@@ -18,6 +18,16 @@ run() {
   timeout 3600 "$@" 2>&1 | tail -60 | tee -a "$LOG"
 }
 
+# licm winner confirmation: flag sweep showed licm2=1.924, licm8=1.920 vs
+# 1.910 baseline (2-run). Confirm licm2 with the 3-run quick bench, probe the
+# dose curve at 4, and try the only other >=baseline flag on top
+run env MDT_XLA_OPTS=xla_tpu_licm_size_inflation_ratio=2 \
+  python benchmarks/bench_e2e_quick.py licm2_confirm
+run env MDT_XLA_OPTS=xla_tpu_licm_size_inflation_ratio=4 \
+  python benchmarks/bench_e2e_quick.py licm4
+run env MDT_XLA_OPTS=xla_tpu_licm_size_inflation_ratio=2,xla_tpu_enable_multi_level_nested_dot_fusion=true \
+  python benchmarks/bench_e2e_quick.py licm2_nested_dot
+
 # 768² tier: baseline pin (b8), the v5e-4 stretch per-chip anchor (b2), and a
 # fresh 20-step op profile at 768² for the lever ranking
 run env MDT_BENCH_RES=768 python benchmarks/bench_e2e_quick.py r768_b8
