@@ -31,10 +31,17 @@ def main():
     trace_dir = "/tmp/sd2_trace"
     os.system(f"rm -rf {trace_dir}")
 
-    models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
-                             attn_impl=os.environ.get("MDT_PROF_ATTN") or None)
+    # mirror bench_e2e_quick's shipping config exactly (pallas_fast softmax +
+    # serving weight cast) — the r3 profile captured with the default impl
+    # ran 4.265s vs the shipping 4.19s and skewed the attention rates
+    models = SDModels.create(
+        family="sd2", dtype=jnp.bfloat16,
+        attn_impl=os.environ.get("MDT_PROF_ATTN") or "pallas_fast")
     params = jax.jit(lambda r: models.init_params(r, height=res, width=res))(
         jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    from minddiffusion_tpu.utils.params import cast_serving_params
+    params = jax.jit(cast_serving_params)(params)
     jax.block_until_ready(params)
 
     pipe = StableDiffusionPipeline(models)

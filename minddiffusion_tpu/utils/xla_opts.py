@@ -22,7 +22,15 @@ import jax
 # Measured bench_flags.py winners ship here (TPU-only options; the dict is
 # ignored off-TPU where the backend would reject them). MDT_XLA_OPTS entries
 # override/extend these; MDT_XLA_OPTS=off disables everything.
-SHIPPED: dict = {}
+#
+# xla_tpu_licm_size_inflation_ratio=2: the r3 compiler-option sweep's only
+# winner (bench_flags.py 2-run: 1.924 vs 1.910 baseline; 3-run confirm
+# 1.9231; dose probes licm8=1.920, licm4=1.9228 — flat response, ship the
+# cheapest dose). Lets XLA hoist more loop-invariant work (per-step weight
+# relayouts) out of the sampler lax.scan, on top of the manual K/V + wino-U
+# hoisting. Every other swept option measured neutral-to-negative (see
+# ROADMAP "XLA compiler-option sweep").
+SHIPPED: dict = {"xla_tpu_licm_size_inflation_ratio": "2"}
 
 
 def compiler_options() -> dict | None:
@@ -31,8 +39,12 @@ def compiler_options() -> dict | None:
     if raw.lower() in ("off", "none"):
         return None
     # Only consult the backend when there are SHIPPED winners to gate —
-    # jax.default_backend() initializes the backend, which on this container
-    # claims a pooled TPU chip. With SHIPPED empty the check must not run.
+    # jax.default_backend() initializes the backend, which on a pooled-TPU
+    # container claims the chip. With SHIPPED non-empty this moves backend
+    # init from first-execution to jit-construction time; acceptable because
+    # every xla_opts.jit call site (pipeline builds, train steps, benches)
+    # executes on that backend immediately after construction, and host-only
+    # tooling runs under JAX_PLATFORMS=cpu where the probe is cheap.
     opts = dict(SHIPPED) if SHIPPED and jax.default_backend() == "tpu" else {}
     for item in raw.split(","):
         item = item.strip()
