@@ -165,10 +165,15 @@ def main():
     log(f"fused cascade: {dt*1e3:.1f} ms  ({batch/dt:.3f} img/s)")
 
     if do_profile:
+        os.system("rm -rf /tmp/glide_profile")
         os.makedirs("/tmp/glide_profile", exist_ok=True)
         with jax.profiler.trace("/tmp/glide_profile"):
             jax.block_until_ready(fn(params, tokens, mask, key))
         log("xprof trace written to /tmp/glide_profile")
+        from xprof_util import trace_to_op_profile
+        trace_to_op_profile("/tmp/glide_profile", "/tmp/glide_op_profile.json")
+        log("summarize with: python benchmarks/op_table.py "
+            "/tmp/glide_op_profile.json")
 
     print(json.dumps({k: round(v, 2) for k, v in results.items()}))
 

@@ -65,36 +65,10 @@ def main():
     np.asarray(img[0, 0, 0])
     jax.profiler.stop_trace()
 
-    pbs = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    print(f"xplane files: {pbs}", file=sys.stderr)
-    from xprof.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(pbs, "op_profile", {})
-    prof = json.loads(data) if isinstance(data, (str, bytes)) else data
-    out = "/tmp/sd2_op_profile.json"
-    with open(out, "w") as f:
-        json.dump(prof, f)
-    print(f"wrote {out}", file=sys.stderr)
-
-    # walk byProgram/byCategory tree and print top self-time ops
-    def walk(node, path, acc):
-        ms = node.get("metrics", {})
-        children = node.get("children", [])
-        if not children:
-            acc.append((ms.get("rawTime", ms.get("time", 0.0)),
-                        ms.get("flops", 0.0), "/".join(path[-3:]),
-                        node.get("name", "?")))
-        for ch in children:
-            walk(ch, path + [node.get("name", "?")], acc)
-
-    root = prof.get("byCategory") or prof.get("byProgram") or prof
-    acc = []
-    walk(root, [], acc)
-    acc.sort(reverse=True)
-    total = sum(a[0] for a in acc)
-    print(f"total self time: {total:.4g}")
-    for t, fl, path, name in acc[:40]:
-        print(f"{t/ total*100:6.2f}%  {name[:110]}")
+    from xprof_util import trace_to_op_profile
+    trace_to_op_profile(trace_dir, "/tmp/sd2_op_profile.json")
+    print("summarize with: python benchmarks/op_table.py "
+          "/tmp/sd2_op_profile.json", file=sys.stderr)
 
 
 if __name__ == "__main__":
