@@ -244,11 +244,15 @@ class GlideUNet(nn.Module):
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * cfg.model_channels
+                # concat-free skip join (ResBlock split path): XLA fuses a
+                # materialized concat INTO the consuming convs and re-reads
+                # both operands per output tile (SR-stage skip 1x1s measured
+                # 66 TF/s at 518 GB/s, 3x31.5 ms/cascade); splitting the
+                # kernels instead keeps the convs at their lane-pad cap.
                 h = ResBlock(out_channels=ch, dtype=cfg.dtype,
                              use_scale_shift_norm=cfg.use_scale_shift_norm,
-                             name=f"up_{level}_{i}_res")(h, emb)
+                             name=f"up_{level}_{i}_res")(h, emb, skip=skip)
                 if ds in cfg.attention_resolutions:
                     h = self._attn(ch, f"up_{level}_{i}_attn")(h, encoder_out)
                 if level and i == cfg.num_res_blocks:

@@ -13,10 +13,13 @@ BatchNorm in inference mode is a fused scale/shift.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
+from jax import lax
 
 
 def pixel_shuffle_2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -25,6 +28,70 @@ def pixel_shuffle_2x(x: jnp.ndarray) -> jnp.ndarray:
     x = x.reshape(b, h, w, 2, 2, c // 4)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h * 2, w * 2, c // 4)
+
+
+def _s2d4_select(block: int = 4, taps: int = 9) -> np.ndarray:
+    """One-hot selector S[kh, d, a, u] for the space-to-depth-4 kernel
+    rearrangement: S=1 iff tap offset u (0..8, center 4) lands at blocked
+    kernel position kh (0..2) / intra-block input phase d when producing
+    intra-block output phase a, i.e. u == block*(kh-1) + d - a + taps//2.
+    """
+    kh = np.arange(3)[:, None, None, None]
+    d = np.arange(block)[None, :, None, None]
+    a = np.arange(block)[None, None, :, None]
+    u = np.arange(taps)[None, None, None, :]
+    return (u == block * (kh - 1) + d - a + taps // 2).astype(np.float32)
+
+
+def blocked_tail_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: jnp.ndarray) -> jnp.ndarray:
+    """9x9 conv (C_in -> 3, SAME) computed in space-to-depth-4 blocked form.
+
+    A direct 1024² conv with 3 output channels runs at 3/128 MXU lane
+    utilization (measured 114.5 ms at 2.3 TF/s in the GLIDE cascade). The
+    exact same math as a 3x3 conv over the 4x4-blocked image has C_in*16
+    inputs and 48 outputs (48/128 lanes): the 9x9 kernel is scattered into a
+    zero-padded (3,3,16*C_in,48) blocked kernel. 'SAME' pad of 1 block == the
+    original 4-pixel pad, so results are bit-exact up to fp reassociation.
+    """
+    b, hh, ww, cin = x.shape
+    assert hh % 4 == 0 and ww % 4 == 0, "blocked tail conv needs H,W % 4 == 0"
+    s = jnp.asarray(_s2d4_select())           # (3, 4, 4, 9)
+    # Wb[kh,kw,da,db,ci,a,b,oc] = sum_{u,v} S[kh,da,a,u] S[kw,db,b,v] W[u,v,ci,oc]
+    wb = jnp.einsum("pdau,qebv,uvco->pqdecabo", s, s,
+                    kernel.astype(jnp.float32))
+    wb = wb.reshape(3, 3, 16 * cin, 16 * kernel.shape[-1])
+    xb = x.reshape(b, hh // 4, 4, ww // 4, 4, cin)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 4, ww // 4, 16 * cin)
+    yb = lax.conv_general_dilated(
+        xb, wb.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = yb.reshape(b, hh // 4, ww // 4, 4, 4, kernel.shape[-1])
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, kernel.shape[-1])
+    return y + bias
+
+
+class TailConv9x9(nn.Module):
+    """Final 9x9 -> 3ch conv; param-tree-identical to nn.Conv(3, (9,9)).
+
+    Routes through `blocked_tail_conv` (space-to-depth-4) unless
+    MDT_SRGAN_S2D=0 or the spatial dims aren't multiples of 4.
+    """
+    features: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (9, 9, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        if (os.environ.get("MDT_SRGAN_S2D", "1") != "0"
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+            return blocked_tail_conv(x, kernel, bias)
+        y = lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
 
 
 class PReLU(nn.Module):
@@ -70,5 +137,5 @@ class SRGANGenerator(nn.Module):
             h = nn.Conv(4 * c, (3, 3), padding=1, name=f"up_{i}_conv")(h)
             h = pixel_shuffle_2x(h)
             h = PReLU(name=f"up_{i}_prelu")(h)
-        h = nn.Conv(3, (9, 9), padding=4, name="conv3")(h)
+        h = TailConv9x9(3, name="conv3")(h)
         return jnp.tanh(h)

@@ -119,6 +119,24 @@ def test_srgan_shapes():
     assert float(jnp.abs(out).max()) <= 1.0
 
 
+def test_blocked_tail_conv_matches_direct():
+    """The s2d4 blocked form of the final 9x9 conv (the 1024² 3-channel
+    lane-utilization fix) must equal the direct conv exactly."""
+    from minddiffusion_tpu.models.srgan import blocked_tail_conv
+
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 16, 24, 8), jnp.float32)
+    kernel = jax.random.normal(k2, (9, 9, 8, 3), jnp.float32) * 0.1
+    bias = jax.random.normal(k3, (3,), jnp.float32)
+    direct = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    blocked = blocked_tail_conv(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_cascade_end_to_end_tiny():
     models = GlideModels.create(
         dtype=jnp.float32,
