@@ -245,14 +245,26 @@ class GlideUNet(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 ch = mult * cfg.model_channels
-                # concat-free skip join (ResBlock split path): XLA fuses a
-                # materialized concat INTO the consuming convs and re-reads
-                # both operands per output tile (SR-stage skip 1x1s measured
-                # 66 TF/s at 518 GB/s, 3x31.5 ms/cascade); splitting the
-                # kernels instead keeps the convs at their lane-pad cap.
-                h = ResBlock(out_channels=ch, dtype=cfg.dtype,
-                             use_scale_shift_norm=cfg.use_scale_shift_norm,
-                             name=f"up_{level}_{i}_res")(h, emb, skip=skip)
+                # Skip-join strategy (MDT_GLIDE_SKIP_JOIN, all param-tree
+                # identical). GLIDE's 192-ch halves pad 192->256 on the MXU
+                # K dim, so SD2's split-concat path REGRESSED here (SR stage
+                # 2229->2390 ms measured r3f) — the 384-wide concat is the
+                # lane-aligned form. But XLA fuses a plain concat INTO the
+                # consuming conv and re-reads operands per K-panel (skip
+                # 1x1s at 66 TF/s / 518 GB/s): 'barrier' materializes the
+                # concat once to keep the conv at its lane cap.
+                join = os.environ.get("MDT_GLIDE_SKIP_JOIN", "concat")
+                if join == "split":
+                    h = ResBlock(out_channels=ch, dtype=cfg.dtype,
+                                 use_scale_shift_norm=cfg.use_scale_shift_norm,
+                                 name=f"up_{level}_{i}_res")(h, emb, skip=skip)
+                else:
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    if join == "barrier":
+                        h = jax.lax.optimization_barrier(h)
+                    h = ResBlock(out_channels=ch, dtype=cfg.dtype,
+                                 use_scale_shift_norm=cfg.use_scale_shift_norm,
+                                 name=f"up_{level}_{i}_res")(h, emb)
                 if ds in cfg.attention_resolutions:
                     h = self._attn(ch, f"up_{level}_{i}_attn")(h, encoder_out)
                 if level and i == cfg.num_res_blocks:

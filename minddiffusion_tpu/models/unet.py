@@ -246,7 +246,22 @@ class ResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if skip is not None:
-            return self._call_split(x, skip, emb)
+            cx, cs = x.shape[-1], skip.shape[-1]
+            esz_ = jnp.dtype(self.dtype).itemsize
+            if (os.environ.get("MDT_MERGE_ALIGNED", "0") == "1"
+                    and (cx % 128 or cs % 128) and (cx + cs) % 128 == 0
+                    and not wino_route(x.shape[1], x.shape[2], cx + cs,
+                                       self.out_channels, itemsize=esz_)):
+                # ds1 up-resblocks: the 320-ch halves are lane-MISaligned
+                # (pad to 384 on K and N — convert_reduce sites at 122T)
+                # but their 640-wide concat IS aligned. Materialize the
+                # concat once (the barrier keeps XLA from fusing it into
+                # the conv and re-reading operands per K-panel) and run the
+                # full-width conv at its higher lane cap. A/B flag.
+                x = jax.lax.optimization_barrier(
+                    jnp.concatenate([x, skip], axis=-1))
+            else:
+                return self._call_split(x, skip, emb)
         in_ch = x.shape[-1]
         # GN+SiLU folded into the winograd conv as an in-kernel affine
         # prologue (no normalized activation materialized in HBM) wherever

@@ -207,6 +207,34 @@ def test_unet_split_concat_matches_concat_path():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_resblock_merge_aligned_matches_split():
+    """MDT_MERGE_ALIGNED=1 (barrier-materialized concat for misaligned
+    halves whose sum is lane-aligned, the SD2 ds1 320+320=640 pattern) must
+    match the split path numerically with the identical param tree."""
+    import os
+    from minddiffusion_tpu.models.unet import ResBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+    s = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    rb = ResBlock(out_channels=64, use_scale_shift_norm=True)
+    os.environ["MDT_MERGE_ALIGNED"] = "0"
+    try:
+        params = rb.init(jax.random.PRNGKey(3), x, emb, skip=s)
+        ref = rb.apply(params, x, emb, skip=s)
+    finally:
+        os.environ["MDT_MERGE_ALIGNED"] = "1"
+    try:
+        p2 = rb.init(jax.random.PRNGKey(3), x, emb, skip=s)
+        assert (jax.tree_util.tree_structure(p2)
+                == jax.tree_util.tree_structure(params))
+        out = rb.apply(params, x, emb, skip=s)
+    finally:
+        os.environ.pop("MDT_MERGE_ALIGNED", None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_upsample_conv_matches_reference():
     """Subpixel-decomposed upsample+conv == nearest_upsample_2x then 3x3 conv."""
     from minddiffusion_tpu.models.layers import (
