@@ -221,8 +221,16 @@ def packed_attention(
     if (impl in (None, "pallas_fast") and q.shape[1] >= _PALLAS_MIN_TOKENS
             and nk >= 512 and _pallas_available()):
         # bq256 runs the exact path ~10% faster than bq128 when the score
-        # tile fits; fall back to 128 for long keys
+        # tile fits; fall back to 128 for long keys. MDT_ATTN_BQ overrides
+        # for A/B (GLIDE's short-nk sites run 75T vs SD's 96T — a larger
+        # q tile amortizes the per-tile K/V reload at small nk).
+        import os as _os
+
+        _bq_env = _os.environ.get("MDT_ATTN_BQ")
         bq = 256 if 256 * nk * 4 <= 6 * 1024 * 1024 else 128
+        if _bq_env:
+            bq = min(int(_bq_env), nq) if int(_bq_env) * nk * 4 \
+                <= 24 * 1024 * 1024 else bq
         # enforced footprint: double-buffered K/V blocks + q/out tiles. The
         # bq x nk fp32 score tile is deliberately EXCLUDED from the budget —
         # it scales with the same nk the K/V term already gates on, and the

@@ -537,15 +537,21 @@ def wino_wins(h: int, w: int, c_in: int, c_out: int,
     h_max = int(os.environ.get("MDT_WINO_HMAX", "48"))   # A/B knob: the early
     # kernel (host-pad halo, redundant shifted tile) lost at 64²x320; the
     # DMA/no-xs kernel may not — MDT_WINO_HMAX=64 MDT_WINO_CMIN=320 re-tests
-    large = os.environ.get("MDT_WINO_LARGE")  # A/B knob "hmax:cmin": extend
-    # the gate to LARGE-spatial LANE-ALIGNED convs (the VAE decoder tier:
-    # 128²x512 / 256²x256 / 512²x128 — c%128==0 so the 2.25x MAC cut isn't
-    # eaten by lane padding; excludes the measured-loss 320-ch UNet sites).
+    large = os.environ.get("MDT_WINO_LARGE")  # A/B knob "hmax:cmin[:any]":
+    # extend the gate to LARGE-spatial convs — by default LANE-ALIGNED only
+    # (the VAE decoder tier: 128²x512 / 256²x256 / 512²x128 — c%128==0 so
+    # the 2.25x MAC cut isn't eaten by lane padding; excludes the
+    # measured-loss 320-ch UNet sites). A trailing ":any" waives the
+    # alignment requirement (the GLIDE 256²x192 tier A/B: winograd pays the
+    # SAME 192->256 padding as direct conv, so the MAC cut still applies).
     # The r2 VAE rejection predates the DMA-halo/no-xs kernel — retestable.
     if large:
-        lh, lc = (int(v) for v in large.split(":"))
+        parts = large.split(":")
+        lh, lc = int(parts[0]), int(parts[1])
+        aligned_ok = ("any" in parts[2:]
+                      or (c_in % 128 == 0 and c_out % 128 == 0))
         if (h % 2 == 0 and w % 2 == 0 and h_max < min(h, w) <= lh
-                and c_in >= lc and c_in % 128 == 0 and c_out % 128 == 0
+                and c_in >= lc and aligned_ok
                 and weight_vmem <= 56 * 1024 * 1024):
             return True
     return (h % 2 == 0 and w % 2 == 0
