@@ -122,11 +122,14 @@ def summarize(txt: str) -> None:
             + (f"  win={win}" if win else "")
             + (f"  {dn}" if dn else "") + (f"  @{site}" if site else ""))
 
-    # Pass 2: fusion instructions -> called computation -> print
+    # Pass 2: fusion instructions -> called computation -> print.
+    # NB: tuple-output fusions (conv + GroupNorm stat reduces, xprof's
+    # convert_reduce_fusion class) have `= (f32[...], ...) fusion(`-style
+    # result types with spaces — match lazily up to ` fusion(`.
     printed = 0
     for line in txt.splitlines():
         m = re.search(
-            r"%?([\w.\-]+)\s*=\s*\S+\s+fusion\(.*calls=%?([\w.\-]+)", line)
+            r"%?([\w.\-]+)\s*=\s*.+?\s+fusion\(.*calls=%?([\w.\-]+)", line)
         if not m:
             continue
         name, callee = m.groups()
@@ -158,7 +161,7 @@ def find_fusions(txt: str, names: list[str]) -> None:
             comp_range[cur] = (start, i + 1)
             cur = None
     for want in names:
-        pat = re.compile(rf"%?{re.escape(want)}\s*=\s*\S+\s+fusion\(")
+        pat = re.compile(rf"%{re.escape(want)}\s*=\s*.+?\s+fusion\(")
         hits = [i for i, l in enumerate(lines) if pat.search(l)]
         if not hits:
             print(f"=== {want}: NOT FOUND ===")
