@@ -43,6 +43,20 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
     return emb
 
 
+def stat_barrier(x: jnp.ndarray) -> jnp.ndarray:
+    """MDT_GN_BARRIER=1: identity barrier at normalization-stat inputs.
+
+    xprof: convs whose output feeds a GroupNorm/LayerNorm get the stat
+    reduces fused INTO the conv fusion (tuple-output convert_reduce_fusion,
+    122-140 TF/s) vs 163.6 TF/s for plain conv+add fusions. The barrier
+    keeps the stats (and the normalization apply, which re-reads the tensor
+    from HBM as the consumer's prologue either way) out of the producer's
+    fusion. Opt-in experiment flag, read at trace time."""
+    if os.environ.get("MDT_GN_BARRIER", "0") == "1":
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in fp32, output cast back to the input dtype.
 
@@ -55,6 +69,7 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = stat_barrier(x)
         # Real model channel counts are multiples of 32; tiny test configs may
         # not be — fall back to the largest divisor <= num_groups.
         channels = x.shape[-1]
@@ -81,7 +96,7 @@ class LayerNormFp32(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # fp32 statistics, activations stay in the input dtype (see GroupNorm32)
         return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype,
-                            param_dtype=jnp.float32)(x)
+                            param_dtype=jnp.float32)(stat_barrier(x))
 
 
 class Dense2D(nn.Dense):

@@ -41,6 +41,7 @@ from minddiffusion_tpu.models.layers import (
     conv3x3,
     dense,
     nearest_upsample_2x,
+    stat_barrier,
     timestep_embedding,
 )
 from minddiffusion_tpu.ops.winograd import merged_channel_sums, wino_chain_ok
@@ -139,7 +140,7 @@ def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5):
     as _split_group_norm_silu (tested equal to flax GroupNorm). Feeds the
     winograd kernel's fused GN+SiLU prologue (layers.conv3x3_dispatch gn=),
     which skips materializing the normalized activation in HBM."""
-    x32 = x.astype(jnp.float32)
+    x32 = stat_barrier(x).astype(jnp.float32)
     return _gn_affine_from_sums(
         jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2)),
         x.shape[1] * x.shape[2], scale, bias, num_groups, eps)
@@ -186,7 +187,7 @@ def _split_gn_affine(parts, scale, bias, num_groups=32, eps=1e-5):
     sums, affine returned full-width for per-part slicing."""
     stats = []
     for p in parts:
-        x32 = p.astype(jnp.float32)
+        x32 = stat_barrier(p).astype(jnp.float32)
         stats.append((jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))))
     s1 = jnp.concatenate([s for s, _ in stats], axis=-1)
     s2 = jnp.concatenate([q for _, q in stats], axis=-1)
@@ -204,7 +205,7 @@ def _split_group_norm_silu(parts, scale, bias, num_groups=32, eps=1e-5):
     gs = c // num_groups
     stats = []
     for p in parts:
-        x32 = p.astype(jnp.float32)
+        x32 = stat_barrier(p).astype(jnp.float32)
         stats.append((jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))))
     s1 = jnp.concatenate([s for s, _ in stats], axis=-1)       # (B, C)
     s2 = jnp.concatenate([q for _, q in stats], axis=-1)
