@@ -249,8 +249,9 @@ class ResBlock(nn.Module):
         if skip is not None:
             cx, cs = x.shape[-1], skip.shape[-1]
             esz_ = jnp.dtype(self.dtype).itemsize
-            if (os.environ.get("MDT_MERGE_ALIGNED", "0") == "1"
+            if (os.environ.get("MDT_MERGE_ALIGNED", "1") == "1"
                     and (cx % 128 or cs % 128) and (cx + cs) % 128 == 0
+                    and min(cx, cs) >= 256
                     and not wino_route(x.shape[1], x.shape[2], cx + cs,
                                        self.out_channels, itemsize=esz_)):
                 # ds1 up-resblocks: the 320-ch halves are lane-MISaligned
@@ -258,7 +259,13 @@ class ResBlock(nn.Module):
                 # but their 640-wide concat IS aligned. Materialize the
                 # concat once (the barrier keeps XLA from fusing it into
                 # the conv and re-reading operands per K-panel) and run the
-                # full-width conv at its higher lane cap. A/B flag.
+                # full-width conv at its higher lane cap.
+                # SHIPPED DEFAULT (r3i, same-session 3-run A/B pairs:
+                # 1.9399 vs 1.9230 and 1.9427 vs 1.923 img/s SD2 512² b8).
+                # min(cx,cs)>=256 pins the measured shape class (SD ds1
+                # 320+320); GLIDE's 192+192 tiers stay on the split path,
+                # which benched 1.999-2.005 img/s. MDT_MERGE_ALIGNED=0
+                # opts out.
                 x = jax.lax.optimization_barrier(
                     jnp.concatenate([x, skip], axis=-1))
             else:
