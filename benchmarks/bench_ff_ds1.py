@@ -20,7 +20,9 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
-from minddiffusion_tpu.ops.fused_ff import _ff_reference, fused_ln_geglu_ff  # noqa: E402
+import sys as _sys
+_sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "research"))
+from fused_ff import _ff_reference, fused_ln_geglu_ff  # noqa: E402
 
 STEPS = 20
 B, N, C = 16, 4096, 320

@@ -1,4 +1,12 @@
-"""Fused LayerNorm -> GEGLU feed-forward -> residual, one Pallas TPU kernel.
+"""STATUS: REJECTED for SD2 shipping (e2e-neutral; kept for the record and
+for larger-width configs where weight VMEM residency may pay off).
+
+Measured (ROADMAP): standalone ds1 site 2.698 ms vs 3.496 XLA-standalone, but
+e2e NEUTRAL (1.904 vs 1.906 img/s) — in-program XLA runs the FF at ~1.1
+ms/site by fusing LN/gelu into neighboring chains. Moved out of ops/ in the
+r4 flag hygiene (was MDT_FUSE_FF).
+
+Fused LayerNorm -> GEGLU feed-forward -> residual, one Pallas TPU kernel.
 
 Why: the transformer FF is the UNet's largest HBM-traffic site. XLA executes
 LN / x@W1 / split-GEGLU / u@W2 / +residual as five kernels, materializing the
@@ -11,7 +19,7 @@ matmuls ride the MXU back-to-back on resident weights.
 Math parity (reference attention.py:60-74 FeedForward/GEGLU, norms at
 attention.py:256): y = x + (a * gelu(g)) @ W2 + b2 where [a; g] = LN(x) @ W1
 + b1, LN statistics in fp32, gelu tanh-approximate, matmuls bf16 with fp32
-accumulation — identical to the unfused flax path (tests/test_fused_ff.py).
+accumulation — identical to the unfused flax path (its parity tests, retired with the flag).
 
 Layout: x (B, N, C) tokens; W1 (C, 8C') packed [a-half | gate-half] on the
 output axis; W2 (4C', C). Row tiles of x stream through the grid; weights are

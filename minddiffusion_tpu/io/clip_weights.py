@@ -82,7 +82,7 @@ def _block_hf(take, base: str) -> Dict[str, np.ndarray]:
     kb = take(base + ".self_attn.k_proj.bias")
     vb = take(base + ".self_attn.v_proj.bias")
     qkv = None
-    if q is not None and k is not None and v is not None:
+    if all(a is not None for a in (q, k, v, qb, kb, vb)):
         qkv = {"kernel": np.concatenate([_t(q), _t(k), _t(v)], axis=1),
                "bias": np.concatenate([qb, kb, vb])}
     return {
@@ -100,13 +100,18 @@ def _block_hf(take, base: str) -> Dict[str, np.ndarray]:
 def convert_clip_checkpoint(
     state_dict: Dict[str, np.ndarray],
     config,
+    allow_partial: bool = False,
 ) -> Tuple[Dict, List[str]]:
     """state_dict (flat torch-layout numpy) + CLIPScoreConfig ->
     ({"params": {visual, text, text_projection}}, report).
 
     The report lists checkpoint keys that were neither used nor recognized
     buffers, plus any expected-but-missing keys (parity with the reference's
-    param_not_load printout)."""
+    param_not_load printout).
+
+    A checkpoint missing expected keys raises with the full missing list
+    unless `allow_partial=True` (ADVICE r3: None leaves silently embedded in
+    the returned tree surface as opaque downstream failures otherwise)."""
     is_hf = any(k.startswith("vision_model.") or k.startswith("text_model.")
                 for k in state_dict)
     take = _Taker(state_dict)
@@ -163,6 +168,11 @@ def convert_clip_checkpoint(
         buffers = [k for k in state_dict if k in ("logit_scale",)
                    or k.startswith("attn_mask")]
 
+    if take.missing and not allow_partial:
+        raise KeyError(
+            f"checkpoint is missing {len(take.missing)} expected CLIP keys "
+            f"(pass allow_partial=True to get a tree with None leaves): "
+            f"{take.missing[:8]}{'...' if len(take.missing) > 8 else ''}")
     report = [f"not loaded: {m}" for m in take.missing]
     for k in state_dict:
         if k not in take.used and k not in buffers:

@@ -28,6 +28,8 @@ from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+from minddiffusion_tpu.utils.flags import flags
 from flax import struct
 import jax
 
@@ -253,7 +255,7 @@ class GlideUNet(nn.Module):
                 # consuming conv and re-reads operands per K-panel (skip
                 # 1x1s at 66 TF/s / 518 GB/s): 'barrier' materializes the
                 # concat once to keep the conv at its lane cap.
-                join = os.environ.get("MDT_GLIDE_SKIP_JOIN", "concat")
+                join = flags().glide_skip_join
                 if join == "split":
                     h = ResBlock(out_channels=ch, dtype=cfg.dtype,
                                  use_scale_shift_norm=cfg.use_scale_shift_norm,

@@ -15,12 +15,14 @@ TPU-first conventions used across all model families:
 from __future__ import annotations
 
 import math
-import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from minddiffusion_tpu.ops.gn_stats import channel_sums, stats_route
+from minddiffusion_tpu.utils.flags import flags
 
 Dtype = Any
 
@@ -43,18 +45,60 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
     return emb
 
 
-def stat_barrier(x: jnp.ndarray) -> jnp.ndarray:
-    """MDT_GN_BARRIER=1: identity barrier at normalization-stat inputs.
+def _gn_groups(channels: int, num_groups: int) -> int:
+    """Real model channel counts are multiples of 32; tiny test configs may
+    not be — fall back to the largest divisor <= num_groups."""
+    groups = num_groups
+    while channels % groups:
+        groups -= 1
+    return groups
 
-    xprof: convs whose output feeds a GroupNorm/LayerNorm get the stat
-    reduces fused INTO the conv fusion (tuple-output convert_reduce_fusion,
-    122-140 TF/s) vs 163.6 TF/s for plain conv+add fusions. The barrier
-    keeps the stats (and the normalization apply, which re-reads the tensor
-    from HBM as the consumer's prologue either way) out of the producer's
-    fusion. Opt-in experiment flag, read at trace time."""
-    if os.environ.get("MDT_GN_BARRIER", "0") == "1":
-        return jax.lax.optimization_barrier(x)
-    return x
+
+def gn_affine_from_sums(s1, s2, n_spatial, scale, bias, num_groups=32,
+                        eps=1e-5, emb=None):
+    """GroupNorm folded to a per-(batch, channel) affine from precomputed
+    per-channel spatial sums (s1, s2): returns (mult, add) with
+    GroupNorm(x)*scale + bias == x*mult + add. Same fp32 stats formula as
+    flax GroupNorm (tested equal), reduction order aside.
+
+    `emb` (B, C): analytic pre-norm embedding add. The stored tensor is h,
+    but the normalized quantity is (h + e): moments shift by
+    s1' = s1 + n*e, s2' = s2 + 2*e*s1 + n*e², and the returned affine folds
+    e so that silu((h+e-mu')*inv'*gamma + beta) == silu(h*mult + add) —
+    the h+e tensor is never materialized (the unfused path pays a full
+    bf16 HBM round-trip for it)."""
+    c = s1.shape[-1]
+    groups = _gn_groups(c, num_groups)
+    gs = c // groups
+    b = s1.shape[0]
+    if emb is not None:
+        e = emb.astype(jnp.float32)
+        s2 = s2 + 2.0 * e * s1 + n_spatial * e * e
+        s1 = s1 + n_spatial * e
+    n = n_spatial * gs
+    mu_g = s1.reshape(b, groups, gs).sum(-1) / n
+    ex2_g = s2.reshape(b, groups, gs).sum(-1) / n
+    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
+    mu_c = jnp.repeat(mu_g, gs, axis=-1)
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)
+    mult = inv_c * scale[None]
+    add = bias[None] - mu_c * mult
+    if emb is not None:
+        add = add + emb.astype(jnp.float32) * mult
+    return mult, add
+
+
+class GNInner(nn.Module):
+    """Mirrors nn.GroupNorm's {scale, bias} params (named GroupNorm_0 by the
+    callers, so the param tree is identical whichever path computes)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
 
 
 class GroupNorm32(nn.Module):
@@ -62,6 +106,15 @@ class GroupNorm32(nn.Module):
 
     Reference keeps GroupNorm fp32 under fp16 activations (util.py:90-96,
     attention.py Normalize). eps matches per use site.
+
+    On TPU at qualifying shapes the statistics come from the Pallas
+    channel-sums kernel (ops/gn_stats): as a custom call they cannot be
+    fused into the producing conv, which otherwise drops from ~163 to ~136
+    TF/s carrying the stat reduces as a tuple-output epilogue (xprof
+    convert_reduce_fusion class, 896 ms of the 50-step SD2 program).
+    The normalization itself is then one per-(batch,channel) affine —
+    identical math to flax GroupNorm, reduction order aside. Param tree is
+    identical on both paths. MDT_GN_STATS=0 opts out.
     """
 
     num_groups: int = 32
@@ -69,13 +122,17 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = stat_barrier(x)
-        # Real model channel counts are multiples of 32; tiny test configs may
-        # not be — fall back to the largest divisor <= num_groups.
         channels = x.shape[-1]
-        groups = self.num_groups
-        while channels % groups:
-            groups -= 1
+        groups = _gn_groups(channels, self.num_groups)
+        if (flags().gn_stats == "all"
+                and stats_route(x.shape, jnp.dtype(x.dtype).itemsize)):
+            scale, bias = GNInner(channels, name="GroupNorm_0")()
+            s1, s2 = channel_sums(x)
+            mult, add = gn_affine_from_sums(
+                s1, s2, x.shape[1] * x.shape[2], scale, bias, groups, self.eps)
+            y = (x.astype(jnp.float32) * mult[:, None, None, :]
+                 + add[:, None, None, :])
+            return y.astype(x.dtype)
         # flax computes the statistics in fp32 regardless of `dtype` (verified
         # bit-identical to an explicit fp32 round-trip), so activations can
         # stay bf16 end to end — no materialized fp32 copies.
@@ -96,43 +153,13 @@ class LayerNormFp32(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # fp32 statistics, activations stay in the input dtype (see GroupNorm32)
         return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype,
-                            param_dtype=jnp.float32)(stat_barrier(x))
-
-
-class Dense2D(nn.Dense):
-    """nn.Dense that flattens leading dims to ONE batch dim around the matmul.
-
-    Why: XLA:TPU emits a 3D batched dot (B, N, C) @ (C, D) as a width-B-window
-    CONVOLUTION over the batch dim (`dim_labels=fb0_0oi->0fb`), which forces
-    spatial-major operand/result layouts and surrounds every transformer
-    projection with {2,0,1}<->{2,1,0} relayout copies (~38 ms/batch in the
-    SD2 xprof). A flat (B*N, C) @ (C, D) GEMM emits the plain high-efficiency
-    path. Param tree identical to nn.Dense."""
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # MDT_DENSE2D=1: flatten every 3D dot; =ds1: only the N>=4096 token
-        # sites (the ds1 transformer, where the {2,0,1} relayout copies
-        # around XLA's conv-emitted dots are largest). Default "0" matches
-        # the dense() construction gate — the experiment is rejected-by-
-        # default (ROADMAP: Dense2D regressed e2e), so a directly
-        # constructed Dense2D must behave like nn.Dense.
-        mode = os.environ.get("MDT_DENSE2D", "0")
-        flat = x.ndim > 2 and (mode == "1"
-                               or (mode == "ds1" and x.shape[-2] >= 4096))
-        if not flat:
-            return nn.Dense.__call__(self, x)
-        s = x.shape
-        y = nn.Dense.__call__(self, x.reshape(-1, s[-1]))
-        return y.reshape(*s[:-1], y.shape[-1])
+                            param_dtype=jnp.float32)(x)
 
 
 def dense(features: int, dtype: Dtype, use_bias: bool = True, zero_init: bool = False,
           name: Optional[str] = None) -> nn.Dense:
     kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
-    cls = (Dense2D if os.environ.get("MDT_DENSE2D", "0") in ("1", "ds1")
-           else nn.Dense)
-    return cls(
+    return nn.Dense(
         features,
         use_bias=use_bias,
         dtype=dtype,
@@ -214,7 +241,7 @@ def wino_route(h: int, w: int, c_in: int, c_out: int,
 
     return (jax.default_backend() == "tpu"
             and winograd.wino_wins(h, w, c_in, c_out, itemsize=itemsize)
-            and os.environ.get("MDT_WINO", "1") != "0")
+            and flags().wino)
 
 
 def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],

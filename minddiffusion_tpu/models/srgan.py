@@ -19,6 +19,8 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+from minddiffusion_tpu.utils.flags import flags
 from jax import lax
 
 
@@ -85,7 +87,7 @@ class TailConv9x9(nn.Module):
                             (9, 9, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
-        if (os.environ.get("MDT_SRGAN_S2D", "1") != "0"
+        if (flags().srgan_s2d
                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
             return blocked_tail_conv(x, kernel, bias)
         y = lax.conv_general_dilated(

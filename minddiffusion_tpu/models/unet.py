@@ -20,7 +20,7 @@ transformer. SD1/wukong: heads 8, ctx 768, conv projections.
 """
 from __future__ import annotations
 
-import os
+
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -31,8 +31,10 @@ from flax import struct
 from minddiffusion_tpu.models.attention import SpatialTransformer
 from minddiffusion_tpu.models.layers import (
     Conv3x3Params,
+    GNInner,
     GroupNorm32,
     conv3x3_dispatch,
+    gn_affine_from_sums,
     hoisted_wino_u,
     wino_route,
     fused_upsample_conv3x3,
@@ -41,10 +43,11 @@ from minddiffusion_tpu.models.layers import (
     conv3x3,
     dense,
     nearest_upsample_2x,
-    stat_barrier,
     timestep_embedding,
 )
+from minddiffusion_tpu.ops.gn_stats import channel_sums
 from minddiffusion_tpu.ops.winograd import merged_channel_sums, wino_chain_ok
+from minddiffusion_tpu.utils.flags import flags
 
 Dtype = Any
 
@@ -97,18 +100,6 @@ class UNetConfig:
         return cls(in_channels=9, num_heads=8, context_dim=768, **kw)
 
 
-class _GNInner(nn.Module):
-    """Mirrors nn.GroupNorm's {scale, bias} params (under GroupNorm_0)."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-        return s, b
-
-
 class _GN32Params(nn.Module):
     """Declares GroupNorm32's exact param tree (<name>/GroupNorm_0/...)."""
 
@@ -116,7 +107,7 @@ class _GN32Params(nn.Module):
 
     @nn.compact
     def __call__(self):
-        return _GNInner(self.dim, name="GroupNorm_0")()
+        return GNInner(self.dim, name="GroupNorm_0")()
 
 
 class _Conv1x1Params(nn.Module):
@@ -134,64 +125,60 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
-def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5):
+def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5, drag=False):
     """GroupNorm folded to a per-(batch, channel) affine: returns (mult, add)
     with GroupNorm(x)*scale + bias == x*mult + add. Same fp32 stats formula
     as _split_group_norm_silu (tested equal to flax GroupNorm). Feeds the
     winograd kernel's fused GN+SiLU prologue (layers.conv3x3_dispatch gn=),
-    which skips materializing the normalized activation in HBM."""
-    x32 = stat_barrier(x).astype(jnp.float32)
-    return _gn_affine_from_sums(
-        jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2)),
-        x.shape[1] * x.shape[2], scale, bias, num_groups, eps)
+    which skips materializing the normalized activation in HBM. Stats come
+    from ops/gn_stats.channel_sums (the Pallas kernel on TPU — keeps the
+    reduces out of the producer conv's fusion)."""
+    s1, s2 = _stat_sums(x, drag=drag)
+    return gn_affine_from_sums(
+        s1, s2, x.shape[1] * x.shape[2], scale, bias, num_groups, eps)
 
 
-def _gn_affine_from_sums(s1, s2, n_spatial, scale, bias, num_groups=32,
-                         eps=1e-5, emb=None):
-    """_gn_affine from precomputed per-channel spatial sums (s1, s2) — for
-    merged-chain resblocks where the conv_in output stays in winograd A-form
-    (ops/winograd.merged_channel_sums) and is never un-merged.
+def _stat_sums(x, drag=False):
+    """Per-channel fp32 spatial sums (s1, s2) for GroupNorm statistics.
 
-    `emb` (B, C): analytic pre-norm embedding add. The stored tensor is h,
-    but the normalized quantity is (h + e): moments shift by
-    s1' = s1 + n*e, s2' = s2 + 2*e*s1 + n*e², and the returned affine folds
-    e so that silu((h+e-mu')*inv'*gamma + beta) == silu(h*mult + add) —
-    the h+e tensor is never materialized (the unfused path pays a full
-    bf16 HBM round-trip for it)."""
-    c = s1.shape[-1]
-    groups = num_groups
-    while c % groups:
-        groups -= 1
-    gs = c // groups
-    b = s1.shape[0]
-    if emb is not None:
-        e = emb.astype(jnp.float32)
-        s2 = s2 + 2.0 * e * s1 + n_spatial * e * e
-        s1 = s1 + n_spatial * e
-    n = n_spatial * gs
-    mu_g = s1.reshape(b, groups, gs).sum(-1) / n
-    ex2_g = s2.reshape(b, groups, gs).sum(-1) / n
-    inv_g = jax.lax.rsqrt(ex2_g - mu_g * mu_g + eps)
-    mu_c = jnp.repeat(mu_g, gs, axis=-1)
-    inv_c = jnp.repeat(inv_g, gs, axis=-1)
-    mult = inv_c * scale[None]
-    add = bias[None] - mu_c * mult
-    if emb is not None:
-        add = add + emb.astype(jnp.float32) * mult
-    return mult, add
+    MDT_GN_STATS scopes the Pallas streaming kernel (ops/gn_stats):
+    "merged" routes only `drag=True` sites — stats whose producer conv
+    measured REAL epilogue drag (the merge-aligned 640->320 conv: 97->82.5
+    ms when freed, r4b per-site profile). "all" routes every qualifying
+    site; measured a blanket e2e LOSS (1.796 vs 1.941) because ds1 320-ch
+    convs are lane-padding-capped at ~144 TF/s with or without the stat
+    epilogue, while the kernel pass + apply materialization cost real time.
+    Default "0": inline jnp reduction (XLA fuses it into the producer)."""
+    mode = flags().gn_stats
+    if mode == "all" or (mode == "merged" and drag):
+        return channel_sums(x)
+    x32 = x.astype(jnp.float32)
+    return jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))
+
+
+def _gn_route(shape, itemsize, drag=False) -> bool:
+    """True when GN stats at this site come from the Pallas kernel — then the
+    GN+SiLU apply is folded into the following conv as a per-(batch,channel)
+    affine prologue (the gn= path of layers.conv3x3_dispatch) even for convs
+    that do NOT route to the winograd kernel: the elementwise prologue fuses
+    into the direct conv, so no normalized activation is materialized and
+    the producer conv sheds its convert_reduce epilogue. See _stat_sums for
+    the MDT_GN_STATS scoping."""
+    from minddiffusion_tpu.ops.gn_stats import stats_route
+
+    mode = flags().gn_stats
+    return ((mode == "all" or (mode == "merged" and drag))
+            and stats_route(shape, itemsize))
 
 
 def _split_gn_affine(parts, scale, bias, num_groups=32, eps=1e-5):
     """_gn_affine over the channel-concat of `parts` WITHOUT materializing the
     concat (split-concat resblocks): group moments from per-part partial
     sums, affine returned full-width for per-part slicing."""
-    stats = []
-    for p in parts:
-        x32 = stat_barrier(p).astype(jnp.float32)
-        stats.append((jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))))
+    stats = [_stat_sums(p) for p in parts]
     s1 = jnp.concatenate([s for s, _ in stats], axis=-1)
     s2 = jnp.concatenate([q for _, q in stats], axis=-1)
-    return _gn_affine_from_sums(
+    return gn_affine_from_sums(
         s1, s2, parts[0].shape[1] * parts[0].shape[2], scale, bias,
         num_groups, eps)
 
@@ -203,10 +190,7 @@ def _split_group_norm_silu(parts, scale, bias, num_groups=32, eps=1e-5):
     with its slice of the affine params. Returns the normalized parts."""
     c = sum(p.shape[-1] for p in parts)
     gs = c // num_groups
-    stats = []
-    for p in parts:
-        x32 = stat_barrier(p).astype(jnp.float32)
-        stats.append((jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))))
+    stats = [_stat_sums(p) for p in parts]
     s1 = jnp.concatenate([s for s, _ in stats], axis=-1)       # (B, C)
     s2 = jnp.concatenate([q for _, q in stats], axis=-1)
     n = parts[0].shape[1] * parts[0].shape[2] * gs
@@ -249,7 +233,7 @@ class ResBlock(nn.Module):
         if skip is not None:
             cx, cs = x.shape[-1], skip.shape[-1]
             esz_ = jnp.dtype(self.dtype).itemsize
-            if (os.environ.get("MDT_MERGE_ALIGNED", "1") == "1"
+            if (flags().merge_aligned
                     and (cx % 128 or cs % 128) and (cx + cs) % 128 == 0
                     and min(cx, cs) >= 256
                     and not wino_route(x.shape[1], x.shape[2], cx + cs,
@@ -268,17 +252,23 @@ class ResBlock(nn.Module):
                 # opts out.
                 x = jax.lax.optimization_barrier(
                     jnp.concatenate([x, skip], axis=-1))
+                merged_in = True
             else:
                 return self._call_split(x, skip, emb)
+        else:
+            merged_in = False
         in_ch = x.shape[-1]
         # GN+SiLU folded into the winograd conv as an in-kernel affine
         # prologue (no normalized activation materialized in HBM) wherever
         # the conv routes to the kernel; the module path otherwise.
         esz = jnp.dtype(self.dtype).itemsize
         fuse_in = (not self.up and not self.down
-                   and wino_route(x.shape[1], x.shape[2], in_ch,
-                                  self.out_channels, itemsize=esz))
+                   and (wino_route(x.shape[1], x.shape[2], in_ch,
+                                   self.out_channels, itemsize=esz)
+                        or _gn_route(x.shape, esz)))
         chain = (fuse_in
+                 and wino_route(x.shape[1], x.shape[2], in_ch,
+                                self.out_channels, itemsize=esz)
                  and wino_route(x.shape[1], x.shape[2], self.out_channels,
                                 self.out_channels, itemsize=esz)
                  and wino_chain_ok(x.shape[1], x.shape[2], self.out_channels))
@@ -313,49 +303,24 @@ class ResBlock(nn.Module):
                 h = avg_pool_2x(h)
                 x = avg_pool_2x(x)
             h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
-        if h_m is None and os.environ.get("MDT_GN_BARRIER", "0") == "1":
-            # keep the GroupNorm stat-reduce OUT of the conv fusion: fused
-            # convert_reduce convs run ~141T vs ~184T for plain conv+add
-            # fusions (xprof); the extra activation read is cheaper. Opt-in
-            # experiment flag.
-            h = jax.lax.optimization_barrier(h)
 
         h = self._emb_norm_conv_out(h_m if h_m is not None else h,
                                     h_m is not None, emb,
-                                    x.shape[1], x.shape[2])
+                                    x.shape[1], x.shape[2], drag=merged_in)
 
         if in_ch != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
         return x + h
 
     def _emb_out(self, emb, width: int) -> jnp.ndarray:
-        """The per-resblock t-embedding projection. `emb` is either a plain
-        (B, D) array or the UNet's (vec, t, all) pack. Under the temb table
-        regime (pipelines MDT_TEMB): on the capture pass, tabulate the
-        projection over every schedule timestep; inside the sampler scan,
-        gather the 1 row for this step's (batch-uniform) t — numerically
-        identical to projecting silu(vec) (bitwise on CPU; TPU matmul tiling
-        for the batched table GEMM is not guaranteed bit-equal), minus ~22
-        tiny GEMMs per step. Measured e2e NEUTRAL (r3 A/B: 1.9109 vs 1.9088
-        img/s) — stays opt-in."""
-        proj = dense(width, self.dtype, name="emb_proj")
-        if not isinstance(emb, tuple):
-            return proj(nn.silu(emb))
-        vec, t, emb_all = emb
-        if emb_all is not None and self.is_mutable_collection("temb"):
-            self.put_variable("temb", "table", proj(nn.silu(emb_all)))
-        elif self.has_variable("temb", "table"):
-            table = self.get_variable("temb", "table")
-            # INVARIANT: t is a schedule timestep in [0, temb_steps) — the
-            # table regime is only enabled by the ddim/plms pipelines, whose
-            # scans feed in-range int32 timesteps (this jnp.take would
-            # silently clamp an out-of-range t; a sampler with synthetic /
-            # continuous t must not enable MDT_TEMB).
-            return jnp.take(table, t[0].astype(jnp.int32), axis=0)[None]
-        return proj(nn.silu(vec))
+        """The per-resblock t-embedding projection. (A tabulated-over-the-
+        schedule variant was measured e2e NEUTRAL in r3 — the ~22 tiny GEMMs
+        per step fully overlap with surrounding compute — and was deleted;
+        see ROADMAP "Tried and rejected".)"""
+        return dense(width, self.dtype, name="emb_proj")(nn.silu(emb))
 
     def _emb_norm_conv_out(self, h, merged: bool, emb: jnp.ndarray,
-                           hh: int, ww: int) -> jnp.ndarray:
+                           hh: int, ww: int, drag: bool = False) -> jnp.ndarray:
         """Shared t-emb + norm_out + conv_out tail (__call__ and the split
         path). `merged`: h is the conv_in winograd A-form — GN moments come
         from merged_channel_sums, the embedding add is folded analytically
@@ -375,23 +340,24 @@ class ResBlock(nn.Module):
             n_sp = hh * ww
             if self.use_scale_shift_norm:
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
-                m0, a0 = _gn_affine_from_sums(s1, s2, n_sp, gs2, gb2)
+                m0, a0 = gn_affine_from_sums(s1, s2, n_sp, gs2, gb2)
                 s_ = 1.0 + scale.astype(jnp.float32)
                 gn_oa = (m0 * s_, a0 * s_ + shift.astype(jnp.float32))
             else:
-                gn_oa = _gn_affine_from_sums(s1, s2, n_sp, gs2, gb2,
+                gn_oa = gn_affine_from_sums(s1, s2, n_sp, gs2, gb2,
                                              emb=emb_out)
             return conv3x3_dispatch(h, k_out, b_out, self.dtype, u=u_out,
                                     gn=gn_oa, in_dims=(hh, ww))
 
         emb_out = emb_out[:, None, None, :]
-        fuse_out = wino_route(hh, ww, co, co,
-                              itemsize=jnp.dtype(self.dtype).itemsize)
+        esz_ = jnp.dtype(self.dtype).itemsize
+        fuse_out = (wino_route(hh, ww, co, co, itemsize=esz_)
+                    or _gn_route(h.shape, esz_, drag=drag))
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             if fuse_out:
                 gs2, gb2 = _GN32Params(co, name="norm_out")()
-                m0, a0 = _gn_affine(h, gs2, gb2)
+                m0, a0 = _gn_affine(h, gs2, gb2, drag=drag)
                 s_ = 1.0 + scale[:, 0, 0, :].astype(jnp.float32)
                 sh_ = shift[:, 0, 0, :].astype(jnp.float32)
                 h = conv3x3(co, self.dtype, zero_init=True,
@@ -402,12 +368,17 @@ class ResBlock(nn.Module):
                 h = conv3x3(co, self.dtype, zero_init=True,
                             name="conv_out")(h)
         else:
-            h = h + emb_out
             if fuse_out:
+                # analytic pre-norm emb fold (see gn_affine_from_sums emb=):
+                # the h+emb tensor is never formed; the affine absorbs it
                 gs2, gb2 = _GN32Params(co, name="norm_out")()
+                s1, s2 = _stat_sums(h, drag=drag)
+                gn_oa = gn_affine_from_sums(s1, s2, hh * ww, gs2, gb2,
+                                            emb=emb_out[:, 0, 0, :])
                 h = conv3x3(co, self.dtype, zero_init=True,
-                            name="conv_out")(h, gn=_gn_affine(h, gs2, gb2))
+                            name="conv_out")(h, gn=gn_oa)
             else:
+                h = h + emb_out
                 h = GroupNorm32(name="norm_out")(h)
                 h = nn.silu(h)
                 h = conv3x3(co, self.dtype, zero_init=True,
@@ -429,7 +400,9 @@ class ResBlock(nn.Module):
                    and (wino_route(x.shape[1], x.shape[2], cx,
                                    self.out_channels, itemsize=esz)
                         or wino_route(x.shape[1], x.shape[2], skip.shape[-1],
-                                      self.out_channels, itemsize=esz)))
+                                      self.out_channels, itemsize=esz)
+                        or (_gn_route(x.shape, esz)
+                            and _gn_route(skip.shape, esz))))
         if fuse_in:
             # combined-stats GN folded to per-half affines; the winograd
             # halves take it as the in-kernel prologue, a non-wino half
@@ -489,21 +462,16 @@ class ResBlock(nn.Module):
                               gn=gn0)
              + conv3x3_dispatch(hs, k_in[:, :, cx:], None, self.dtype, u=u1,
                                 gn=gn1))
-        if os.environ.get("MDT_GN_BARRIER", "0") == "1":
-            # keep norm_out's stat-reduce out of the conv fusion (see the
-            # barrier note in __call__); at 64^2 x 320 the up_0_0 site
-            # otherwise fuses BOTH conv halves + GN stats into one 122 TF/s
-            # mega-fusion (xprof convert_reduce_fusion.510)
-            h = jax.lax.optimization_barrier(h)
 
         emb_out = self._emb_out(
             emb,
             2 * self.out_channels if self.use_scale_shift_norm
             else self.out_channels)
         emb_out = emb_out[:, None, None, :]
-        fuse_out = wino_route(h.shape[1], h.shape[2], self.out_channels,
-                              self.out_channels,
-                              itemsize=jnp.dtype(self.dtype).itemsize)
+        esz2 = jnp.dtype(self.dtype).itemsize
+        fuse_out = (wino_route(h.shape[1], h.shape[2], self.out_channels,
+                               self.out_channels, itemsize=esz2)
+                    or _gn_route(h.shape, esz2))
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             if fuse_out:
@@ -519,12 +487,16 @@ class ResBlock(nn.Module):
                 h = conv3x3(self.out_channels, self.dtype, zero_init=True,
                             name="conv_out")(h)
         else:
-            h = h + emb_out
             if fuse_out:
                 gs2, gb2 = _GN32Params(self.out_channels, name="norm_out")()
+                s1, s2 = _stat_sums(h)
+                gn_oa = gn_affine_from_sums(
+                    s1, s2, h.shape[1] * h.shape[2], gs2, gb2,
+                    emb=emb_out[:, 0, 0, :])
                 h = conv3x3(self.out_channels, self.dtype, zero_init=True,
-                            name="conv_out")(h, gn=_gn_affine(h, gs2, gb2))
+                            name="conv_out")(h, gn=gn_oa)
             else:
+                h = h + emb_out
                 h = GroupNorm32(name="norm_out")(h)
                 h = nn.silu(h)
                 h = conv3x3(self.out_channels, self.dtype, zero_init=True,
@@ -562,7 +534,7 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.use_conv and os.environ.get("MDT_FUSED_UP", "1") == "1":
+        if self.use_conv and flags().fused_up:
             # subpixel-decomposed upsample+conv: 4 MACs/output instead of 9,
             # no 4x intermediate (layers.fused_upsample_conv3x3)
             k, b = Conv3x3Params(x.shape[-1], self.out_channels,
@@ -598,7 +570,6 @@ class UNetModel(nn.Module):
         context: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None,
         cfg_fold: bool = False,
-        temb_steps: Optional[int] = None,
     ) -> jnp.ndarray:
         """cfg_fold=True: classifier-free-guidance dedup. `x`/`timesteps` come
         in at batch B while `context` is the [uncond; cond] fold at 2B; the
@@ -621,17 +592,6 @@ class UNetModel(nn.Module):
         te0 = dense(time_embed_dim, cfg.dtype, name="time_embed_0")
         te2 = dense(time_embed_dim, cfg.dtype, name="time_embed_2")
         emb = te2(nn.silu(te0(t_emb.astype(cfg.dtype))))
-        # temb precompute regime (MDT_TEMB): the inference schedule's t values
-        # are static, so every per-resblock emb_proj GEMM is a pure function
-        # of t. On the capture pass (temb_steps given, "temb" mutable) each
-        # resblock tabulates its projection over ALL schedule timesteps; in
-        # the sampler scan it then does a 1-row gather instead of
-        # silu+GEMM (bitwise-identical rows).
-        emb_all = None
-        if (temb_steps is not None and y is None
-                and self.is_mutable_collection("temb")):
-            ta = timestep_embedding(jnp.arange(temb_steps), cfg.model_channels)
-            emb_all = te2(nn.silu(te0(ta.astype(cfg.dtype))))
         if cfg.num_classes is not None:
             # 'adm' class conditioning (openaimodel.py label_emb): y (B,) int
             if y is None:
@@ -646,9 +606,9 @@ class UNetModel(nn.Module):
 
         res_block = nn.remat(ResBlock) if cfg.remat else ResBlock
 
-        # resblocks receive (vec, t, all) — `vec` is the live embedding (the
-        # fold below may widen it), `t`/`all` serve the temb table regime
-        epack = lambda: (emb, timesteps, emb_all)  # noqa: E731
+        # resblocks read `emb` late through this closure: the CFG fold below
+        # may widen it from B to 2B after the first cross-attention
+        epack = lambda: emb  # noqa: E731
 
         pending_fold = cfg_fold
 
@@ -701,7 +661,7 @@ class UNetModel(nn.Module):
             raise ValueError("cfg_fold requires at least one spatial transformer")
 
         # --- up path ---
-        split_concat = os.environ.get("MDT_SPLIT_CONCAT", "1") == "1"
+        split_concat = flags().split_concat
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()

@@ -20,6 +20,8 @@ from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+from minddiffusion_tpu.utils.flags import flags
 from flax import struct
 
 import os
@@ -129,7 +131,7 @@ class Decoder(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 h = ResnetBlock(ch, cfg.dtype, name=f"up_{level}_block_{i}")(h)
             if level != 0:
-                if os.environ.get("MDT_FUSED_UP", "1") == "1":
+                if flags().fused_up:
                     k, b = Conv3x3Params(h.shape[-1], ch,
                                          name=f"up_{level}_upsample")()
                     h = fused_upsample_conv3x3(h, k, b, cfg.dtype)

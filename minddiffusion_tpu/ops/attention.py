@@ -20,6 +20,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from minddiffusion_tpu.utils.flags import flags
+
 # Token count above which the Pallas kernel is preferred on TPU. Short
 # (cross-attention, text-encoder) sequences stay on the XLA path: the score
 # tensor is tiny and XLA's fusion wins.
@@ -135,21 +137,19 @@ def _einsum_packed(q, k, v, scale, heads):
     return out.reshape(b, nq, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _packed_ad(q, k, v, scale, heads, block_q, exact, variant):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _packed_ad(q, k, v, scale, heads, block_q, exact):
     from minddiffusion_tpu.ops import flash_attention
 
-    fn = {"packed": flash_attention.flash_attention_packed,
-          "ones": flash_attention.flash_attention_packed_ones,
-          "fold": flash_attention.flash_attention_packed_fold}[variant]
-    return fn(q, k, v, scale, heads, block_q=block_q, exact=exact)
+    return flash_attention.flash_attention_packed(
+        q, k, v, scale, heads, block_q=block_q, exact=exact)
 
 
-def _packed_ad_fwd(q, k, v, scale, heads, block_q, exact, variant):
-    return _packed_ad(q, k, v, scale, heads, block_q, exact, variant), (q, k, v)
+def _packed_ad_fwd(q, k, v, scale, heads, block_q, exact):
+    return _packed_ad(q, k, v, scale, heads, block_q, exact), (q, k, v)
 
 
-def _packed_ad_bwd(scale, heads, block_q, exact, variant, res, g):
+def _packed_ad_bwd(scale, heads, block_q, exact, res, g):
     q, k, v = res
     _, vjp = jax.vjp(
         lambda a, b, c: _einsum_packed(a, b, c, scale, heads), q, k, v)
@@ -159,39 +159,12 @@ def _packed_ad_bwd(scale, heads, block_q, exact, variant, res, g):
 _packed_ad.defvjp(_packed_ad_fwd, _packed_ad_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def fused_proj_attention_ad(x, wq, wk, wv, wo, bo, scale, heads, exact):
-    from minddiffusion_tpu.ops import flash_attention
-
-    return flash_attention.flash_attention_packed_proj(
-        x, wq, wk, wv, wo, bo, scale=scale, heads=heads, exact=exact)
-
-
-def _proj_ref(x, wq, wk, wv, wo, bo, scale, heads):
-    dt = x.dtype
-    y = _einsum_packed(x @ wq.astype(dt), x @ wk.astype(dt),
-                       x @ wv.astype(dt), scale, heads)
-    return y @ wo.astype(dt) + bo.astype(dt)
-
-
-def _proj_ad_fwd(x, wq, wk, wv, wo, bo, scale, heads, exact):
-    return (fused_proj_attention_ad(x, wq, wk, wv, wo, bo, scale, heads, exact),
-            (x, wq, wk, wv, wo, bo))
-
-
-def _proj_ad_bwd(scale, heads, exact, res, g):
-    _, vjp = jax.vjp(
-        lambda x, a, b, c, d, e: _proj_ref(x, a, b, c, d, e, scale, heads),
-        *res)
-    return vjp(g)
-
-
-fused_proj_attention_ad.defvjp(_proj_ad_fwd, _proj_ad_bwd)
-
-
 # VMEM budget for the packed (heads-unsplit) kernel: K, V and a q tile's score
 # row must fit on-chip together.
 _PACKED_VMEM_BUDGET = 12 * 1024 * 1024
+# fp32 score-tile budget gating the q-block choice (and the MDT_ATTN_BQ
+# override) — one constant for both.
+_SCORE_TILE_BUDGET = 6 * 1024 * 1024
 
 
 def packed_attention(
@@ -221,45 +194,30 @@ def packed_attention(
     if (impl in (None, "pallas_fast") and q.shape[1] >= _PALLAS_MIN_TOKENS
             and nk >= 512 and _pallas_available()):
         # bq256 runs the exact path ~10% faster than bq128 when the score
-        # tile fits; fall back to 128 for long keys. MDT_ATTN_BQ overrides
-        # for A/B (GLIDE's short-nk sites run 75T vs SD's 96T — a larger
-        # q tile amortizes the per-tile K/V reload at small nk).
-        import os as _os
-
-        _bq_env = _os.environ.get("MDT_ATTN_BQ")
-        bq = 256 if 256 * nk * 4 <= 6 * 1024 * 1024 else 128
-        if _bq_env:
-            bq = min(int(_bq_env), nq) if int(_bq_env) * nk * 4 \
-                <= 24 * 1024 * 1024 else bq
+        # tile fits; fall back to 128 for long keys. The single documented
+        # score-tile budget: bq * nk * 4 (fp32) <= _SCORE_TILE_BUDGET.
+        bq = 256 if 256 * nk * 4 <= _SCORE_TILE_BUDGET else 128
+        bq_env = flags().attn_bq
+        if bq_env:
+            # A/B override (GLIDE's short-nk sites run 75T vs SD's 96T — a
+            # larger q tile amortizes the per-tile K/V reload at small nk).
+            # Rounded DOWN to a 128 multiple; ignored unless it divides the
+            # q length and fits the same score-tile budget (ADVICE r3: an
+            # unaligned/non-dividing value crashed at Mosaic trace time).
+            cand = min(bq_env - bq_env % 128, nq)
+            if (cand >= 128 and nq % cand == 0
+                    and cand * nk * 4 <= _SCORE_TILE_BUDGET):
+                bq = cand
         # enforced footprint: double-buffered K/V blocks + q/out tiles. The
         # bq x nk fp32 score tile is deliberately EXCLUDED from the budget —
         # it scales with the same nk the K/V term already gates on, and the
         # shipped budget value was tuned e2e with this exact condition.
         vmem = nk * c * 2 * 2 + bq * c * 6
         if vmem <= _PACKED_VMEM_BUDGET:
-            from minddiffusion_tpu.ops import flash_attention
-
-            import os
-
-            if impl == "pallas_fast":
-                # raw-exp softmax (no shift; exact below logit 88): no max
-                # pass — serving opt-in. MDT_FOLD_ATTN=1 additionally folds
-                # the softmax row-sum into the PV matmul via in-kernel
-                # scratch V-augment (d=64 only).
-                if (os.environ.get("MDT_FOLD_ATTN", "0") == "1"
-                        and c // heads == 64):
-                    return _packed_ad(q, k, v, float(scale), heads, bq,
-                                      False, "fold")
-                return _packed_ad(q, k, v, float(scale), heads, bq,
-                                  False, "packed")
-            # ones-column fold (row-sum rides the PV matmul) via host-side
-            # V-augment concat: e2e-slower (the concat costs real HBM);
-            # superseded by the in-kernel MDT_FOLD_ATTN variant above.
-            if os.environ.get("MDT_ONES_ATTN", "0") == "1":
-                return _packed_ad(q, k, v, float(scale), heads, bq,
-                                  True, "ones")
+            # impl == "pallas_fast": raw-exp softmax (no shift; exact below
+            # logit 88, far above SD-scale logits) — serving opt-in.
             return _packed_ad(q, k, v, float(scale), heads, bq,
-                              True, "packed")
+                              impl != "pallas_fast")
     if impl == "pallas_fast":
         impl = None
     out = dot_product_attention(
@@ -271,31 +229,3 @@ def packed_attention(
     )
     return out.reshape(b, nq, c)
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def packed_out_attention_ad(q, k, v, wo, bo, scale, heads, exact):
-    """attention + fused out-projection (flash_attention_packed_out) with an
-    einsum-recompute backward (the Pallas kernel is not linearizable)."""
-    from minddiffusion_tpu.ops import flash_attention
-
-    return flash_attention.flash_attention_packed_out(
-        q, k, v, wo, bo, scale=scale, heads=heads, exact=exact)
-
-
-def _out_ref(q, k, v, wo, bo, scale, heads):
-    y = _einsum_packed(q, k, v, scale, heads)
-    return y @ wo.astype(y.dtype) + bo.astype(y.dtype)
-
-
-def _out_ad_fwd(q, k, v, wo, bo, scale, heads, exact):
-    return (packed_out_attention_ad(q, k, v, wo, bo, scale, heads, exact),
-            (q, k, v, wo, bo))
-
-
-def _out_ad_bwd(scale, heads, exact, res, g):
-    _, vjp = jax.vjp(
-        lambda a, b, c, d, e: _out_ref(a, b, c, d, e, scale, heads), *res)
-    return vjp(g)
-
-
-packed_out_attention_ad.defvjp(_out_ad_fwd, _out_ad_bwd)

@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from minddiffusion_tpu.utils.flags import flags
+
 
 def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
@@ -256,8 +258,7 @@ def wino_chain_ok(h: int, w: int, c_mid: int) -> bool:
     # chains exchange A-form tiles, which only the DMA+GN kernel path can
     # produce/consume — the MDT_WINO_DMA=0 opt-out must disable chaining too
     # (otherwise conv3x3_winograd's merged-I/O asserts fire)
-    return (os.environ.get("MDT_WINO_CHAIN", "1") != "0"
-            and os.environ.get("MDT_WINO_DMA", "1") != "0"
+    return (flags().wino_chain and flags().wino_dma
             and h % 2 == 0 and w % 2 == 0 and h <= 48 and c_mid % 128 == 0)
 
 
@@ -429,7 +430,7 @@ def conv3x3_winograd(
     import os
 
     if dma is None:
-        dma = os.environ.get("MDT_WINO_DMA", "1") != "0"
+        dma = flags().wino_dma
     return _conv3x3_winograd_jit(
         x, kernel, bias, u, gn_mult, gn_add, block_rows=block_rows,
         fp32_transform=fp32_transform, interpret=interpret, dma=dma,
@@ -527,33 +528,18 @@ def wino_wins(h: int, w: int, c_in: int, c_out: int,
     (0.98 vs 0.93), 8² and VAE-decoder shapes all lose — excluded. The VMEM
     cap rejects the up-path skip-concat convs (C_in up to 2560, whose
     16x(cp, Co) resident transformed weights alone exceed scoped VMEM)."""
-    import os
-
     cp = _round_up(c_in, 128)
     # U is cast to the activation dtype in-kernel: fp32 models double the
     # grid-resident footprint (itemsize=4), so fewer shapes qualify there
     weight_vmem = 16 * cp * c_out * itemsize   # U, grid-resident
-    c_min = int(os.environ.get("MDT_WINO_CMIN", "512"))  # A/B knob
-    h_max = int(os.environ.get("MDT_WINO_HMAX", "48"))   # A/B knob: the early
-    # kernel (host-pad halo, redundant shifted tile) lost at 64²x320; the
-    # DMA/no-xs kernel may not — MDT_WINO_HMAX=64 MDT_WINO_CMIN=320 re-tests
-    large = os.environ.get("MDT_WINO_LARGE")  # A/B knob "hmax:cmin[:any]":
-    # extend the gate to LARGE-spatial convs — by default LANE-ALIGNED only
-    # (the VAE decoder tier: 128²x512 / 256²x256 / 512²x128 — c%128==0 so
-    # the 2.25x MAC cut isn't eaten by lane padding; excludes the
-    # measured-loss 320-ch UNet sites). A trailing ":any" waives the
-    # alignment requirement (the GLIDE 256²x192 tier A/B: winograd pays the
-    # SAME 192->256 padding as direct conv, so the MAC cut still applies).
-    # The r2 VAE rejection predates the DMA-halo/no-xs kernel — retestable.
-    if large:
-        parts = large.split(":")
-        lh, lc = int(parts[0]), int(parts[1])
-        aligned_ok = ("any" in parts[2:]
-                      or (c_in % 128 == 0 and c_out % 128 == 0))
-        if (h % 2 == 0 and w % 2 == 0 and h_max < min(h, w) <= lh
-                and c_in >= lc and aligned_ok
-                and weight_vmem <= 56 * 1024 * 1024):
-            return True
+    f = flags()
+    # MDT_WINO_TUNE hmax=/cmin= A/B knobs: the early kernel (host-pad halo,
+    # redundant shifted tile) lost at 64²x320; hmax=64,cmin=320 re-tests the
+    # DMA/no-xs kernel there. Large-spatial extensions (the old
+    # MDT_WINO_LARGE) were measured losses at every tried setting (VAE tiers
+    # 1.891/1.909 vs 1.923; GLIDE 256²x192 1.293) — deleted, see ROADMAP.
+    c_min = f.wino_cmin if f.wino_cmin is not None else 512
+    h_max = f.wino_hmax if f.wino_hmax is not None else 48
     return (h % 2 == 0 and w % 2 == 0
             and 12 <= min(h, w) <= h_max and c_in >= c_min
             and weight_vmem <= 56 * 1024 * 1024)

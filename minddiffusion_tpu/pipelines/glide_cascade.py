@@ -42,6 +42,7 @@ from minddiffusion_tpu.models.glide import (
 from minddiffusion_tpu.models.srgan import SRGANGenerator
 from minddiffusion_tpu.samplers import ancestral
 from minddiffusion_tpu.utils import xla_opts
+from minddiffusion_tpu.utils.flags import flags
 
 
 def create_glide_models(**kwargs) -> "GlideModels":
@@ -119,19 +120,17 @@ def _hoist_invariants(model, variables, dummy_args, method):
     capture pass — the rest is dead code XLA eliminates. Mirrors the SD
     pipelines' _make_eps_fn capture (see models/glide.GlideAttentionBlock,
     models/layers.hoisted_wino_u)."""
-    import os
-
-    if (jax.default_backend() != "tpu"
-            or os.environ.get("MDT_HOIST", "1") == "0"):
+    f = flags()
+    if not f.hoist or (jax.default_backend() != "tpu" and not f.hoist_force):
         return variables
     # A/B on the full cascade (img/s/chip to 1024px, b8): no hoist 1.936,
     # encoder-KV only 1.954, winograd-U only 1.826 — U tensors held live as
     # scan constants regress GLIDE's small wino sites, unlike SD2 where the
     # U hoist is the big win. Default: KV only.
     cols = []
-    if os.environ.get("MDT_HOIST_KV", "1") != "0":
+    if f.hoist_kv:
         cols.append("xattn_kv")
-    if os.environ.get("MDT_HOIST_WINO", "0") != "0":
+    if f.hoist_wino_glide:
         cols.append("wino_u")
     if not cols:
         return variables

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -39,6 +38,7 @@ from minddiffusion_tpu.models.unet import UNetConfig, UNetModel
 from minddiffusion_tpu.models.vae import AutoencoderKL, VAEConfig
 from minddiffusion_tpu.samplers import ddim, dpm_solver, plms
 from minddiffusion_tpu.utils import xla_opts
+from minddiffusion_tpu.utils.flags import flags
 
 
 def create_sd_models(**kwargs) -> "SDModels":
@@ -126,8 +126,7 @@ class SDModels:
 def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
                  concat2b: Optional[jnp.ndarray] = None,
                  class_labels2b: Optional[jnp.ndarray] = None,
-                 sample_shape: Optional[Tuple[int, int, int]] = None,
-                 temb_steps: Optional[int] = None):
+                 sample_shape: Optional[Tuple[int, int, int]] = None):
     """CFG-wrapped eps model covering every DiffusionWrapper conditioning key
     of the reference (ddpm.py:360-379): crossattn (context2b), concat /
     hybrid (concat2b channel concat, inpaint), adm (class_labels2b added to
@@ -148,13 +147,11 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
     # identical, measurably cheaper. Inapplicable when the guidance halves
     # differ before cross-attention (channel-concat or class conditioning).
     dedup = (concat2b is None and class_labels2b is None
-             and os.environ.get("MDT_CFG_DEDUP", "1") != "0")
+             and flags().cfg_dedup)
 
     unet_vars = params["unet"]
-    hoist = (sample_shape is not None
-             and (jax.default_backend() == "tpu"
-                  or os.environ.get("MDT_HOIST") == "force")
-             and os.environ.get("MDT_HOIST", "1") != "0")
+    hoist = (sample_shape is not None and flags().hoist
+             and (jax.default_backend() == "tpu" or flags().hoist_force))
     if hoist:
         b, h8, w8 = sample_shape
         xb = b if dedup else 2 * b
@@ -164,21 +161,11 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
         if concat2b is not None:
             x_d = jnp.concatenate([x_d, concat2b.astype(x_d.dtype)], axis=-1)
         t_d = jnp.zeros((xb,), jnp.int32)
-        # temb table regime (MDT_TEMB=1): every resblock's emb_proj is a pure
-        # function of the (integer, batch-uniform) timestep, so the capture
-        # pass tabulates them over the whole schedule and the sampler scan
-        # gathers one row per step instead of running ~22 tiny GEMMs
-        # (models/unet.ResBlock._emb_out). Only int-t samplers qualify
-        # (callers gate on ddim/plms); adm class labels perturb the embedding
-        # per batch row, so they disqualify too.
-        temb = (temb_steps is not None and class_labels2b is None
-                and os.environ.get("MDT_TEMB", "0") == "1")
         # capture pass: only the captured values' data paths stay live; the
         # rest of this forward is dead code XLA eliminates
         _, cap = models.unet.apply(unet_vars, x_d, t_d, context2b,
                                    y=class_labels2b, cfg_fold=dedup,
-                                   temb_steps=temb_steps if temb else None,
-                                   mutable=["xattn_kv", "wino_u", "temb"])
+                                   mutable=["xattn_kv", "wino_u"])
         hoisted = {col: vals for col, vals in cap.items()
                    if jax.tree.leaves(vals)}
         unet_vars = {**unet_vars, **hoisted}
@@ -262,8 +249,7 @@ class StableDiffusionPipeline:
             ctx2 = m.text_encoder.apply(params["text"], tok2)
             eps_fn = _make_eps_fn(
                 m, params, ctx2, guidance_scale,
-                sample_shape=(batch_size, h8, w8),
-                temb_steps=m.schedule.num_timesteps
+                sample_shape=(batch_size, h8, w8)
                 if sampler in ("ddim", "plms") else None)
             key, knoise = jax.random.split(key)
             if noise is not None:
@@ -334,8 +320,7 @@ class StableDiffusionPipeline:
             h8l, w8l = height // m.latent_factor, width // m.latent_factor
             eps_fn = _make_eps_fn(
                 m, params, ctx2, guidance_scale,
-                sample_shape=(b, h8l, w8l),
-                temb_steps=m.schedule.num_timesteps
+                sample_shape=(b, h8l, w8l)
                 if sampler in ("ddim", "plms") else None)
 
             key, kenc, knoise = jax.random.split(key, 3)
@@ -392,8 +377,7 @@ class StableDiffusionPipeline:
 
             eps_fn = _make_eps_fn(
                 m, params, ctx2, guidance_scale, concat2b=c_cat2,
-                sample_shape=(b, h8, w8),
-                temb_steps=m.schedule.num_timesteps
+                sample_shape=(b, h8, w8)
                 if sampler in ("ddim", "plms") else None)
             x_T = jax.random.normal(knoise, (b, h8, w8, 4), jnp.float32)
             z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)

@@ -1,0 +1,143 @@
+"""Resolved-once runtime flag object — the single home for MDT_* env reads.
+
+VERDICT r3 weak-4: shipping model code had 27 MDT_* env vars read at 62 sites,
+including `os.environ.get` inside UNet/attention forward paths. This module
+centralizes every surviving flag into one frozen snapshot: model code imports
+`flags()` and reads attributes; no `os.environ` appears under `models/`.
+
+The snapshot rebuilds only when the MDT_* environment actually changes (a
+cheap tuple compare), so production traces see a constant object while tests
+that monkeypatch env vars still observe their changes.
+
+Surviving flags (shipped-default opt-outs + tuning knobs; every deleted flag's
+lesson lives in ROADMAP.md "Tried and rejected"):
+  MDT_WINO=0           opt out of the Winograd conv kernel entirely
+  MDT_WINO_TUNE=...    comma k=v overrides: hmax=<int>,cmin=<int>,dma=0,chain=0
+                       (shape-gate ceiling/floor, DMA-halo variant, merged
+                       resblock chaining)
+  MDT_SPLIT_CONCAT=0   opt out of concat-free up-path resblocks
+  MDT_MERGE_ALIGNED=0  opt out of the aligned-merge skip join (>=256-ch pairs)
+  MDT_FUSED_UP=0       opt out of the subpixel fused upsample+conv
+  MDT_CFG_DEDUP=0      opt out of CFG-prefix dedup in guided sampling
+  MDT_HOIST            "1" (default): scan-invariant hoisting (wino U +
+                       cross-attn K/V; GLIDE hoists K/V only — its wino-U
+                       hoist measured negative, add "wino" to force);
+                       "0": off; "force": capture even off-TPU (tests);
+                       or explicit list e.g. "kv" / "kv,wino"
+  MDT_GN_STATS         Pallas GroupNorm-stats kernel scope: "0" (off,
+                       default), "merged" (only norm_out stats of merge-
+                       aligned resblocks — the one site class whose producer
+                       conv measured real stat-epilogue drag, 97->82.5 ms),
+                       or "all" (every >=2MiB GN site; r4b A/B: 1.796 vs
+                       1.941 img/s — the blanket version LOSES: ds1 320-ch
+                       convs are lane-cap-bound, the epilogue was free)
+  MDT_SRGAN_S2D=0      opt out of the space-to-depth blocked SRGAN tail conv
+  MDT_GLIDE_SKIP_JOIN  GLIDE up-path skip-join strategy (default "concat";
+                       "split" / "barrier" are the measured alternatives)
+  MDT_ATTN_BQ=<int>    attention q-block override (rounded to 128s; ignored
+                       when it does not divide the site's padded q length)
+  MDT_XLA_OPTS         extra XLA compiler options / "off" (utils/xla_opts.py)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+_KEYS = (
+    "MDT_WINO", "MDT_WINO_TUNE", "MDT_SPLIT_CONCAT", "MDT_MERGE_ALIGNED",
+    "MDT_FUSED_UP", "MDT_CFG_DEDUP", "MDT_HOIST", "MDT_GN_STATS",
+    "MDT_SRGAN_S2D", "MDT_GLIDE_SKIP_JOIN", "MDT_ATTN_BQ", "MDT_XLA_OPTS",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Flags:
+    wino: bool = True
+    wino_dma: bool = True
+    wino_chain: bool = True
+    wino_hmax: Optional[int] = None
+    wino_cmin: Optional[int] = None
+    split_concat: bool = True
+    merge_aligned: bool = True
+    fused_up: bool = True
+    cfg_dedup: bool = True
+    hoist: bool = True
+    hoist_force: bool = False
+    hoist_kv: bool = True
+    # GLIDE-only wino-U hoist (measured negative there, default off;
+    # SD pipelines hoist wino U whenever `hoist` is on)
+    hoist_wino_glide: bool = False
+    gn_stats: str = "0"
+    srgan_s2d: bool = True
+    glide_skip_join: str = "concat"
+    attn_bq: Optional[int] = None
+    xla_opts: str = ""
+
+
+def _parse_wino_tune(raw: str) -> dict:
+    """'hmax=64,cmin=320,dma=0,chain=0' -> field overrides. Malformed entries
+    raise a clear error naming the syntax (ADVICE r3: no IndexError deep in
+    a model trace)."""
+    out: dict = {}
+    for part in raw.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"MDT_WINO_TUNE entry {part!r}: expected k=v with k in "
+                "{hmax,cmin,dma,chain} (e.g. 'hmax=64,cmin=320,dma=0')")
+        k, v = part.split("=", 1)
+        k = k.strip()
+        if k in ("hmax", "cmin"):
+            out[f"wino_{k}"] = int(v)
+        elif k == "dma":
+            out["wino_dma"] = v.strip() != "0"
+        elif k == "chain":
+            out["wino_chain"] = v.strip() != "0"
+        else:
+            raise ValueError(
+                f"MDT_WINO_TUNE key {k!r}: expected one of hmax/cmin/dma/chain")
+    return out
+
+
+def _build(env: dict) -> Flags:
+    kw: dict = {}
+    kw["wino"] = env.get("MDT_WINO", "1") != "0"
+    kw.update(_parse_wino_tune(env.get("MDT_WINO_TUNE", "")))
+    kw["split_concat"] = env.get("MDT_SPLIT_CONCAT", "1") != "0"
+    kw["merge_aligned"] = env.get("MDT_MERGE_ALIGNED", "1") != "0"
+    kw["fused_up"] = env.get("MDT_FUSED_UP", "1") != "0"
+    kw["cfg_dedup"] = env.get("MDT_CFG_DEDUP", "1") != "0"
+    hoist = env.get("MDT_HOIST", "1")
+    kw["hoist"] = hoist != "0"
+    kw["hoist_force"] = hoist == "force"
+    if hoist not in ("0", "1", "force"):
+        parts = {p.strip() for p in hoist.split(",")}
+        kw["hoist_kv"] = "kv" in parts
+        kw["hoist_wino_glide"] = "wino" in parts
+    gs = env.get("MDT_GN_STATS", "0")
+    kw["gn_stats"] = {"1": "all"}.get(gs, gs)
+    if kw["gn_stats"] not in ("0", "all", "merged"):
+        raise ValueError(
+            f"MDT_GN_STATS={gs!r}: expected 0, all/1, or merged")
+    kw["srgan_s2d"] = env.get("MDT_SRGAN_S2D", "1") != "0"
+    kw["glide_skip_join"] = env.get("MDT_GLIDE_SKIP_JOIN", "concat")
+    bq = env.get("MDT_ATTN_BQ", "")
+    kw["attn_bq"] = int(bq) if bq else None
+    kw["xla_opts"] = env.get("MDT_XLA_OPTS", "")
+    return Flags(**kw)
+
+
+_cache: Tuple[Optional[tuple], Optional[Flags]] = (None, None)
+
+
+def flags() -> Flags:
+    """The current flag snapshot (rebuilt only when MDT_* env changed)."""
+    global _cache
+    key = tuple(os.environ.get(k) for k in _KEYS)
+    if _cache[0] != key:
+        _cache = (key, _build({k: v for k, v in zip(_KEYS, key)
+                               if v is not None}))
+    return _cache[1]

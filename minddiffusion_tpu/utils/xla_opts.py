@@ -33,19 +33,28 @@ import jax
 SHIPPED: dict = {"xla_tpu_licm_size_inflation_ratio": "2"}
 
 
+def _tpu_platform() -> bool:
+    """Whether the process targets a TPU backend, WITHOUT initializing it.
+
+    jax.default_backend() initializes the backend, which on the pooled-TPU
+    relay ("axon" platform) claims the chip and can block for minutes — a
+    host-only caller constructing a jitted program must not hang here
+    (ADVICE r3). The platform list (jax_platforms config / JAX_PLATFORMS
+    env) is inspectable for free; only when it is completely unset do we
+    fall back to the initializing probe."""
+    plats = (jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS")
+             or "").strip()
+    if plats:
+        return plats.split(",")[0].strip().lower() in ("tpu", "axon")
+    return jax.default_backend() == "tpu"
+
+
 def compiler_options() -> dict | None:
     """SHIPPED defaults merged with MDT_XLA_OPTS ("k=v,k2=v2")."""
     raw = os.environ.get("MDT_XLA_OPTS", "").strip()
     if raw.lower() in ("off", "none"):
         return None
-    # Only consult the backend when there are SHIPPED winners to gate —
-    # jax.default_backend() initializes the backend, which on a pooled-TPU
-    # container claims the chip. With SHIPPED non-empty this moves backend
-    # init from first-execution to jit-construction time; acceptable because
-    # every xla_opts.jit call site (pipeline builds, train steps, benches)
-    # executes on that backend immediately after construction, and host-only
-    # tooling runs under JAX_PLATFORMS=cpu where the probe is cheap.
-    opts = dict(SHIPPED) if SHIPPED and jax.default_backend() == "tpu" else {}
+    opts = dict(SHIPPED) if SHIPPED and _tpu_platform() else {}
     for item in raw.split(","):
         item = item.strip()
         if not item:

@@ -181,9 +181,17 @@ def test_openclip_layout_converts_identically(hf_model, converted):
 
 
 def test_missing_key_reported(hf_model):
+    import pytest
+
     sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
     del sd["text_model.final_layer_norm.weight"]
-    _, report = convert_clip_checkpoint(sd, parity_config())
+    # default: a partial checkpoint is a hard error naming the missing keys
+    # (ADVICE r3: silent None leaves produced opaque downstream failures)
+    with pytest.raises(KeyError, match="final_layer_norm"):
+        convert_clip_checkpoint(sd, parity_config())
+    # explicit opt-in still returns the tree + report for diagnostics
+    _, report = convert_clip_checkpoint(sd, parity_config(),
+                                        allow_partial=True)
     assert any("text_model.final_layer_norm.weight" in r for r in report)
 
 

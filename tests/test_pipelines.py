@@ -113,32 +113,3 @@ def test_txt2img_on_serving_mesh(setup):
     assert img_m.shape == (8, 64, 64, 3) and img_m.dtype == jnp.uint8
     np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_s))
 
-
-def test_temb_table_bitwise_equal(setup, monkeypatch):
-    """MDT_TEMB precompute (per-resblock emb_proj tabulated over the schedule,
-    1-row gather in the scan) must be bitwise identical to the per-step
-    silu+GEMM path: the table rows ARE the per-step projections
-    (models/unet.ResBlock._emb_out). MDT_HOIST=force enables the capture
-    regime on the CPU backend."""
-    models, params = setup
-    pipe = StableDiffusionPipeline(models)
-    monkeypatch.setenv("MDT_HOIST", "force")
-    monkeypatch.setenv("MDT_TEMB", "0")
-    base = pipe.build_txt2img(height=64, width=64, num_steps=4,
-                              sampler="ddim", batch_size=2)(
-        params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(1))
-    monkeypatch.setenv("MDT_TEMB", "1")
-    temb = pipe.build_txt2img(height=64, width=64, num_steps=4,
-                              sampler="ddim", batch_size=2)(
-        params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(1))
-    np.testing.assert_array_equal(np.asarray(base), np.asarray(temb))
-    # PLMS exercises the second eps_fn call site (next-t bootstrap eval)
-    monkeypatch.setenv("MDT_TEMB", "0")
-    base_p = pipe.build_txt2img(height=64, width=64, num_steps=3,
-                                sampler="plms", batch_size=2)(
-        params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(1))
-    monkeypatch.setenv("MDT_TEMB", "1")
-    temb_p = pipe.build_txt2img(height=64, width=64, num_steps=3,
-                                sampler="plms", batch_size=2)(
-        params, tokens(2, 3), tokens(2, 0), jax.random.PRNGKey(1))
-    np.testing.assert_array_equal(np.asarray(base_p), np.asarray(temb_p))

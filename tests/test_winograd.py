@@ -78,13 +78,18 @@ def test_wino_shape_rule():
 def test_wino_shape_rule_env_overrides(monkeypatch):
     from minddiffusion_tpu.ops.winograd import wino_wins
 
-    monkeypatch.setenv("MDT_WINO_HMAX", "64")
-    monkeypatch.setenv("MDT_WINO_CMIN", "320")
+    monkeypatch.setenv("MDT_WINO_TUNE", "hmax=64,cmin=320")
     assert wino_wins(64, 64, 320, 320)           # ds1 re-test config
     assert not wino_wins(128, 128, 320, 320)     # still bounded above
-    monkeypatch.delenv("MDT_WINO_HMAX")
-    monkeypatch.delenv("MDT_WINO_CMIN")
+    monkeypatch.delenv("MDT_WINO_TUNE")
     assert not wino_wins(64, 64, 320, 320)       # defaults unchanged
+    import pytest
+
+    from minddiffusion_tpu.utils.flags import _parse_wino_tune
+    with pytest.raises(ValueError, match="hmax"):   # clear config error,
+        _parse_wino_tune("64")                      # not a deep trace crash
+    with pytest.raises(ValueError, match="dma"):
+        _parse_wino_tune("speed=9")
 
 
 def test_winograd_hoisted_u_matches_inline_transform():
@@ -349,14 +354,14 @@ def test_resblock_merged_chain_matches_module_path(monkeypatch):
 
 
 def test_wino_chain_disabled_with_dma_off(monkeypatch):
-    """MDT_WINO_DMA=0 must disable chaining too: merged A-form I/O exists
+    """MDT_WINO_TUNE=dma=0 must disable chaining too: merged A-form I/O exists
     only on the DMA+GN kernel path (code-review r2: the opt-out previously
     tripped conv3x3_winograd's merged-I/O asserts)."""
     from minddiffusion_tpu.ops import winograd
 
-    monkeypatch.delenv("MDT_WINO_DMA", raising=False)
+    monkeypatch.delenv("MDT_WINO_TUNE", raising=False)
     assert winograd.wino_chain_ok(16, 16, 1280)
-    monkeypatch.setenv("MDT_WINO_DMA", "0")
+    monkeypatch.setenv("MDT_WINO_TUNE", "dma=0")
     assert not winograd.wino_chain_ok(16, 16, 1280)
 
 def test_wino_shape_rule_fp32_itemsize():

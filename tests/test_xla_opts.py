@@ -28,8 +28,9 @@ def test_shipped_defaults(monkeypatch):
     assert xla_opts.compiler_options() == {"xla_tpu_b": "8"}
     monkeypatch.setenv("MDT_XLA_OPTS", "off")
     assert xla_opts.compiler_options() is None
-    # on a TPU backend SHIPPED would merge under env entries
-    monkeypatch.setattr(xla_opts.jax, "default_backend", lambda: "tpu")
+    # on a TPU platform SHIPPED would merge under env entries (the probe is
+    # platform-list based — it must not initialize the backend, ADVICE r3)
+    monkeypatch.setattr(xla_opts, "_tpu_platform", lambda: True)
     monkeypatch.setenv("MDT_XLA_OPTS", "xla_tpu_b=8")
     assert xla_opts.compiler_options() == {"xla_tpu_w": "true",
                                            "xla_tpu_b": "8"}
