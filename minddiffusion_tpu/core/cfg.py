@@ -7,7 +7,13 @@ for the MXU (one big batched matmul) — but it happens *inside* the jitted scan
 so the doubled batch exists only on-device.
 
 Convention: the folded batch is [uncond; cond] (uncond first), matching the
-reference's `concat((uc, c))` ordering.
+reference's `concat((uc, c))` ordering. `interleave=True` switches every
+helper to the per-sample pair layout [u0, c0, u1, c1, ...] instead — the
+guided output is identical, but each sample's pair stays on its own shard
+under data-parallel mesh serving (a halves concat along a dp-sharded batch
+axis lowers to an all-to-all INSIDE the sampler scan, and the halves split
+in `guide` to a second one; tests/test_serving_hlo.py pins the program
+collective-free).
 """
 from __future__ import annotations
 
@@ -19,21 +25,32 @@ import jax.numpy as jnp
 Pytree = Any
 
 
-def fold(uncond: Pytree, cond: Pytree) -> Pytree:
-    """Concatenate two conditioning pytrees on the leading (batch) axis."""
+def fold(uncond: Pytree, cond: Pytree, interleave: bool = False) -> Pytree:
+    """Fold two conditioning pytrees onto the leading (batch) axis."""
+    if interleave:
+        return jax.tree.map(
+            lambda u, c: jnp.stack([u, c], axis=1).reshape(
+                (2 * u.shape[0],) + u.shape[1:]), uncond, cond)
     return jax.tree.map(lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond)
 
 
-def duplicate(x: jnp.ndarray) -> jnp.ndarray:
-    """Tile a batch tensor 2x on the leading axis (x_t fed to both branches)."""
+def duplicate(x: jnp.ndarray, interleave: bool = False) -> jnp.ndarray:
+    """Feed a batch tensor to both guidance branches, in the fold layout."""
+    if interleave:
+        return jnp.repeat(x, 2, axis=0)
     return jnp.concatenate([x, x], axis=0)
 
 
-def guide(eps_folded: jnp.ndarray, scale: jnp.ndarray | float) -> jnp.ndarray:
-    """Split a folded [uncond; cond] model output and blend:
+def guide(eps_folded: jnp.ndarray, scale: jnp.ndarray | float,
+          interleave: bool = False) -> jnp.ndarray:
+    """Unfold a folded model output and blend:
     eps = eps_uncond + scale * (eps_cond - eps_uncond).
     """
-    eps_uncond, eps_cond = jnp.split(eps_folded, 2, axis=0)
+    if interleave:
+        pair = eps_folded.reshape((-1, 2) + eps_folded.shape[1:])
+        eps_uncond, eps_cond = pair[:, 0], pair[:, 1]
+    else:
+        eps_uncond, eps_cond = jnp.split(eps_folded, 2, axis=0)
     return eps_uncond + scale * (eps_cond - eps_uncond)
 
 
@@ -42,6 +59,7 @@ def wrap_model(
     folded_cond: Pytree,
     scale: float,
     dedup: bool = False,
+    interleave: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Turn an (x, t, cond)->eps model into a guided (x, t)->eps model.
 
@@ -58,11 +76,19 @@ def wrap_model(
     def guided(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         # a batch-1 t broadcasts against either half (samplers.common
         # broadcast_t); only a full-batch t needs the explicit duplicate
-        t2 = t if t.shape[0] == 1 else duplicate(t)
+        t2 = t if t.shape[0] == 1 else duplicate(t, interleave)
         if dedup:
             eps2 = apply_fn(x, t, folded_cond)
         else:
-            eps2 = apply_fn(duplicate(x), t2, folded_cond)
-        return guide(eps2, scale)
+            eps2 = apply_fn(duplicate(x, interleave), t2, folded_cond)
+        return guide(eps2, scale, interleave)
 
     return guided
+
+
+def cfg_dup(x: jnp.ndarray, mode) -> jnp.ndarray:
+    """Duplicate a batch tensor to both guidance halves in the fold layout
+    named by a truthy cfg_fold `mode` (True -> halves, "interleave" -> pairs).
+    Used by the UNet cfg-dedup handoff points (models/unet, models/attention)
+    so the in-network duplications match wrap_model's fold layout."""
+    return duplicate(x, interleave=(mode == "interleave"))

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from minddiffusion_tpu.core.cfg import cfg_dup
 from minddiffusion_tpu.models.layers import GroupNorm32, LayerNormFp32, conv1x1, dense
 from minddiffusion_tpu.ops.attention import packed_attention
 
@@ -133,7 +134,8 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
-                 cfg_fold: bool = False) -> jnp.ndarray:
+                 cfg_fold=False) -> jnp.ndarray:
+        # cfg_fold: False | True (halves layout) | "interleave" (see core.cfg)
         lora = dict(enable_lora=self.enable_lora, lora_rank=self.lora_rank,
                     lora_alpha=self.lora_alpha)
         x = x + CrossAttention(
@@ -144,8 +146,9 @@ class BasicTransformerBlock(nn.Module):
             # CFG dedup handoff: everything upstream (UNet prefix, this
             # block's LN + self-attention) ran once at batch B; the two
             # guidance halves first diverge HERE, where context enters.
-            # [x; x] matches core.cfg.fold's [uncond; cond] layout.
-            x = jnp.concatenate([x, x], axis=0)
+            # The duplication follows core.cfg's fold layout (halves, or
+            # shard-local pairs under mesh serving).
+            x = cfg_dup(x, cfg_fold)
         x = x + CrossAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             context_dim=self.context_dim, dtype=self.dtype, attn_impl=self.attn_impl,
@@ -174,7 +177,8 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
-                 cfg_fold: bool = False) -> jnp.ndarray:
+                 cfg_fold=False) -> jnp.ndarray:
+        # cfg_fold: False | True (halves layout) | "interleave" (see core.cfg)
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -191,12 +195,12 @@ class SpatialTransformer(nn.Module):
                 enable_lora=self.enable_lora, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha, attn_impl=self.attn_impl,
                 name=f"block_{i}",
-            )(x, context=context, cfg_fold=cfg_fold and i == 0)
+            )(x, context=context, cfg_fold=cfg_fold if i == 0 else False)
         if self.use_linear:
             x = dense(self.in_channels, self.dtype, zero_init=True, name="proj_out")(x)
         x = x.reshape(x.shape[0], h, w, -1)
         if not self.use_linear:
             x = conv1x1(self.in_channels, self.dtype, zero_init=True, name="proj_out")(x)
         if cfg_fold:
-            residual = jnp.concatenate([residual, residual], axis=0)
+            residual = cfg_dup(residual, cfg_fold)
         return x + residual

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from minddiffusion_tpu.core.cfg import cfg_dup
 from minddiffusion_tpu.models.attention import SpatialTransformer
 from minddiffusion_tpu.models.layers import (
     Conv3x3Params,
@@ -569,9 +570,11 @@ class UNetModel(nn.Module):
         timesteps: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None,
-        cfg_fold: bool = False,
+        cfg_fold=False,
     ) -> jnp.ndarray:
-        """cfg_fold=True: classifier-free-guidance dedup. `x`/`timesteps` come
+        """cfg_fold (False | True | "interleave"): classifier-free-guidance
+        dedup; the string value switches the in-network duplications to the
+        shard-local pair layout (core.cfg). `x`/`timesteps` come
         in at batch B while `context` is the [uncond; cond] fold at 2B; the
         network runs ONCE at B until the first cross-attention (where the two
         guidance halves first differ), then duplicates activations to 2B.
@@ -620,7 +623,7 @@ class UNetModel(nn.Module):
                 if emb.shape[0] > 1:
                     # batch-1 emb (uniform sampler timestep) broadcasts to
                     # either fold half as-is
-                    emb = jnp.concatenate([emb, emb], axis=0)
+                    emb = cfg_dup(emb, cfg_fold)
                 pending_fold = False
             return h
 
@@ -667,7 +670,7 @@ class UNetModel(nn.Module):
                 skip = hs.pop()
                 if skip.shape[0] != h.shape[0]:
                     # pre-fold skip (batch B) meeting a folded h (2B)
-                    skip = jnp.concatenate([skip, skip], axis=0)
+                    skip = cfg_dup(skip, cfg_fold)
                 ch = mult * cfg.model_channels
                 blk = res_block(out_channels=ch, dtype=cfg.dtype,
                                 use_scale_shift_norm=cfg.use_scale_shift_norm,

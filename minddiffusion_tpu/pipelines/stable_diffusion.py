@@ -126,7 +126,8 @@ class SDModels:
 def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
                  concat2b: Optional[jnp.ndarray] = None,
                  class_labels2b: Optional[jnp.ndarray] = None,
-                 sample_shape: Optional[Tuple[int, int, int]] = None):
+                 sample_shape: Optional[Tuple[int, int, int]] = None,
+                 cfg_layout: str = "halves"):
     """CFG-wrapped eps model covering every DiffusionWrapper conditioning key
     of the reference (ddpm.py:360-379): crossattn (context2b), concat /
     hybrid (concat2b channel concat, inpaint), adm (class_labels2b added to
@@ -146,8 +147,13 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
     # cross-attention) once at batch B instead of twice — numerically
     # identical, measurably cheaper. Inapplicable when the guidance halves
     # differ before cross-attention (channel-concat or class conditioning).
+    # cfg_layout: "halves" ([uncond; cond], the reference ordering) or
+    # "interleave" (per-sample pairs — shard-local under dp mesh serving;
+    # context2b must already be folded in the SAME layout by the caller).
+    interleave = cfg_layout == "interleave"
     dedup = (concat2b is None and class_labels2b is None
              and flags().cfg_dedup)
+    fold_mode = ("interleave" if interleave else True) if dedup else False
 
     unet_vars = params["unet"]
     hoist = (sample_shape is not None and flags().hoist
@@ -164,7 +170,7 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
         # capture pass: only the captured values' data paths stay live; the
         # rest of this forward is dead code XLA eliminates
         _, cap = models.unet.apply(unet_vars, x_d, t_d, context2b,
-                                   y=class_labels2b, cfg_fold=dedup,
+                                   y=class_labels2b, cfg_fold=fold_mode,
                                    mutable=["xattn_kv", "wino_u"])
         hoisted = {col: vals for col, vals in cap.items()
                    if jax.tree.leaves(vals)}
@@ -174,9 +180,10 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
         if concat2b is not None:
             x2 = jnp.concatenate([x2, concat2b.astype(x2.dtype)], axis=-1)
         return models.unet.apply(unet_vars, x2, t2, ctx2,
-                                 y=class_labels2b, cfg_fold=dedup)
+                                 y=class_labels2b, cfg_fold=fold_mode)
 
-    return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale, dedup=dedup)
+    return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale, dedup=dedup,
+                              interleave=interleave)
 
 
 def _run_sampler(sampler: str, eps_fn, x_T, schedule, num_steps, key,
@@ -238,6 +245,14 @@ class StableDiffusionPipeline:
         """
         m = self.models
         h8, w8 = height // m.latent_factor, width // m.latent_factor
+        # Mesh serving uses the pair-interleaved CFG layout: every sample's
+        # (uncond, cond) rows live on the same dp shard, so the fold/dedup
+        # duplications and the guide unfold are all shard-local — the whole
+        # sampling program compiles collective-free under pure-dp sharding
+        # (tests/test_serving_hlo.py; the halves layout lowered to an
+        # all-to-all inside the scan body). Single-chip keeps the reference
+        # halves ordering (the tuned program).
+        cfg_layout = "interleave" if mesh is not None else "halves"
 
         def fn(params, tokens, uncond_tokens, key, noise=None):
             # `noise`: optional explicit x_T (B, h8, w8, 4) — serving engines
@@ -245,12 +260,14 @@ class StableDiffusionPipeline:
             # its own seed regardless of how it was batched (serving/engine).
             # None (the default, and every CLI/bench path) keeps the original
             # draw-from-key program.
-            tok2 = jnp.concatenate([uncond_tokens, tokens], axis=0)
+            tok2 = cfg_lib.fold(uncond_tokens, tokens,
+                                interleave=cfg_layout == "interleave")
             ctx2 = m.text_encoder.apply(params["text"], tok2)
             eps_fn = _make_eps_fn(
                 m, params, ctx2, guidance_scale,
                 sample_shape=(batch_size, h8, w8)
-                if sampler in ("ddim", "plms") else None)
+                if sampler in ("ddim", "plms") else None,
+                cfg_layout=cfg_layout)
             key, knoise = jax.random.split(key)
             if noise is not None:
                 assert noise.shape == (batch_size, h8, w8, 4), (
