@@ -124,10 +124,11 @@ class GroupNorm32(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         channels = x.shape[-1]
         groups = _gn_groups(channels, self.num_groups)
-        if (flags().gn_stats == "all"
+        mode = flags().gn_stats
+        if (mode in ("all", "stats", "stats_t")
                 and stats_route(x.shape, jnp.dtype(x.dtype).itemsize)):
             scale, bias = GNInner(channels, name="GroupNorm_0")()
-            s1, s2 = channel_sums(x)
+            s1, s2 = channel_sums(x, mode == "stats_t")
             mult, add = gn_affine_from_sums(
                 s1, s2, x.shape[1] * x.shape[2], scale, bias, groups, self.eps)
             y = (x.astype(jnp.float32) * mult[:, None, None, :]
@@ -271,6 +272,18 @@ def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.nda
     else:
         _, h, w, c = x.shape
     features = kernel.shape[-1]
+    if (gn is None and in_dims is None and flags().conv_lowco
+            and jax.default_backend() == "tpu"):
+        from minddiffusion_tpu.ops.lowco import conv3x3_lowco, lowco_wins
+
+        if lowco_wins(h, w, c, features):
+            # tiny-c_out tail convs (GLIDE SR out_conv 256²x192->6 ran
+            # 7.3 TF/s direct — 4.7% N-lane utilization): taps-in-N GEMM +
+            # constant fix-up conv (ops/lowco)
+            x = x.astype(dtype)
+            if bias is None:
+                bias = jnp.zeros((features,), jnp.float32)
+            return conv3x3_lowco(x, kernel.astype(dtype), bias)
     use_wino = wino_route(h, w, c, features,
                           itemsize=jnp.dtype(dtype).itemsize)
     x = x.astype(dtype)

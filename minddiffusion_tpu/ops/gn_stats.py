@@ -89,6 +89,59 @@ def channel_sums_pallas(x: jnp.ndarray, interpret: bool = False):
     return s1[:, 0], s2[:, 0]
 
 
+def _stats_kernel_t(x_ref, s1_ref, s2_ref):
+    """Transposed variant: grid (H/bh,); x block (bh, W, B, C) -> (B, C)."""
+    xf = x_ref[...].astype(jnp.float32)          # (bh, W, B, C)
+    p1 = jnp.sum(xf, axis=(0, 1))                # (B, C)
+    p2 = jnp.sum(xf * xf, axis=(0, 1))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s1_ref[...] = p1
+        s2_ref[...] = p2
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        s1_ref[...] += p1
+        s2_ref[...] += p2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def channel_sums_pallas_t(x: jnp.ndarray, interpret: bool = False):
+    """(B, H, W, C) -> (s1, s2) fp32 (B, C), reading x through an
+    (H, W, B, C) transposed view.
+
+    Why: XLA:TPU emits the producing convolutions with batch-in-sublanes
+    layouts ({3,0,2,1} = memory order H, W, B, C). A Pallas operand must be
+    in the default layout OF ITS LOGICAL SHAPE — feeding the (B, H, W, C)
+    tensor forces a full relayout copy, while feeding the transposed VIEW
+    makes the default layout coincide with the conv's native one, so XLA can
+    bitcast instead of copy."""
+    xt = jnp.transpose(x, (1, 2, 0, 3))
+    h, w, b, c = xt.shape
+    bh = 1
+    while (h % (bh * 2) == 0) and (bh * 2 * w * b * c
+                                   * jnp.dtype(x.dtype).itemsize) <= _BLOCK_BYTES:
+        bh *= 2
+    out = jax.ShapeDtypeStruct((b, c), jnp.float32)
+    s1, s2 = pl.pallas_call(
+        _stats_kernel_t,
+        grid=(h // bh,),
+        in_specs=[pl.BlockSpec((bh, w, b, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((b, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((b, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(out, out),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xt)
+    return s1, s2
+
+
 def channel_sums_ref(x: jnp.ndarray):
     """Reference path: what the model code inlined before (XLA fuses it)."""
     x32 = x.astype(jnp.float32)
@@ -105,28 +158,31 @@ def stats_route(shape, itemsize: int) -> bool:
             and h * w >= 64)
 
 
-@jax.custom_vjp
-def channel_sums(x: jnp.ndarray):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def channel_sums(x: jnp.ndarray, transposed: bool = False):
     """Per-channel spatial sums (s1, s2) of a (B, H, W, C) activation, fp32.
 
     Dispatches to the Pallas streaming kernel on TPU at qualifying shapes
     (keeping GroupNorm stats OUT of the producer conv's fusion), and to the
-    plain jnp reduction elsewhere. Differentiable (analytic VJP).
-    """
-    return _channel_sums_impl(x)
+    plain jnp reduction elsewhere. `transposed=True` reads through the
+    (H, W, B, C) view (see channel_sums_pallas_t). Differentiable
+    (analytic VJP)."""
+    return _channel_sums_impl(x, transposed)
 
 
-def _channel_sums_impl(x: jnp.ndarray):
+def _channel_sums_impl(x: jnp.ndarray, transposed: bool = False):
     if stats_route(x.shape, jnp.dtype(x.dtype).itemsize):
+        if transposed:
+            return channel_sums_pallas_t(x)
         return channel_sums_pallas(x)
     return channel_sums_ref(x)
 
 
-def _channel_sums_fwd(x):
-    return _channel_sums_impl(x), x
+def _channel_sums_fwd(x, transposed):
+    return _channel_sums_impl(x, transposed), x
 
 
-def _channel_sums_bwd(x, g):
+def _channel_sums_bwd(transposed, x, g):
     g1, g2 = g
     dx = (g1[:, None, None, :].astype(jnp.float32)
           + 2.0 * x.astype(jnp.float32) * g2[:, None, None, :].astype(jnp.float32))

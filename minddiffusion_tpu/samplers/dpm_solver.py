@@ -1,4 +1,5 @@
-"""DPM-Solver++ (data-prediction) samplers: multistep, singlestep, adaptive.
+"""DPM-Solver samplers: multistep, singlestep, adaptive; data (++) and
+noise prediction; dynamic thresholding.
 
 Implements the full solver surface the reference ships
 (wukong-huahua/ldm/models/diffusion/dpm_solver/dpm_solver.py):
@@ -15,6 +16,15 @@ Implements the full solver surface the reference ships
 * adaptive step-size solver (dpm_solver.py:959-1124 `dpm_solver_adaptive`):
   step doubling with an (order-1, order) embedded pair, E-norm error control
   (atol 0.0078, rtol 0.05, theta 0.9), as a `lax.while_loop`.
+* `prediction="noise"`: the plain DPM-Solver family (reference
+  `algorithm_type="dpmsolver"` / `predict_x0=False`) — same D-term structure,
+  eps-model coefficient tables (alpha-ratio carry, sigma*expm1(+h) bases).
+  Dead code in the reference's own shipped paths (its wrapper hardcodes
+  predict_x0=True, sampler.py:88) but part of the library surface.
+* `thresholding=True` (+ max_val): dynamic thresholding of the data
+  prediction (reference dpm_solver.py:333-390): per-sample p=0.995 quantile
+  of |x0|, clamped >= max_val, clip and rescale. Data-prediction mode only,
+  as in the reference.
 
 TPU-first inversion: the reference interpolates log-alpha(t) on device per
 step; here every per-step scalar — lambda/sigma/alpha at the time nodes, the
@@ -52,10 +62,18 @@ def build_tables(
     skip_type: str = "time_uniform",
     order: int = 2,
     lower_order_final: bool = True,
+    prediction: str = "data",
 ):
-    """Host-side fp64 tables for multistep orders 1-3. Dict of (steps,) arrays."""
+    """Host-side fp64 tables for multistep orders 1-3. Dict of (steps,) arrays.
+
+    prediction="data": DPM-Solver++ coefficients (sigma-ratio carry,
+    alpha*expm1(-h) bases). "noise": plain DPM-Solver (alpha-ratio carry,
+    sigma*expm1(+h) bases; the 3M correction signs are baked into cd1/cd2 so
+    the scan body is shared)."""
     if order not in (1, 2, 3):
         raise NotImplementedError("multistep order must be 1, 2 or 3")
+    if prediction not in ("data", "noise"):
+        raise NotImplementedError("prediction must be 'data' or 'noise'")
     ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
     N = ac.shape[0]
     t_disc = np.arange(1, N + 1, dtype=np.float64) / N
@@ -77,6 +95,7 @@ def build_tables(
     r0 = h_prev / safe_h
     r1 = h_prev2 / safe_h
     phi = np.expm1(-h)
+    phi_p = np.expm1(h)                          # noise-prediction basis
 
     # per-step solver order with ramp + lower_order_final
     idx = np.arange(1, steps + 1)
@@ -86,12 +105,27 @@ def build_tables(
     o2 = (step_order >= 2).astype(np.float64)
     o3 = (step_order >= 3).astype(np.float64)
 
+    if prediction == "data":
+        ratio = sigma[1:] / sigma[:-1]
+        c0 = alpha[1:] * phi                     # alpha_t * (e^{-h} - 1)
+        # 3M correction enters as +(cd1*D1 - cd2*D2)
+        cd1 = alpha[1:] * (phi / safe_h + 1.0)
+        cd2 = alpha[1:] * ((phi + h) / safe_h**2 - 0.5)
+    else:
+        # reference multistep_*_update algorithm_type="dpmsolver":
+        # x_t = (a_t/a_s) x - s_t*expm1(h)*m0 - 0.5*s_t*expm1(h)*D1_0  (2M)
+        #       - s_t*(expm1(h)/h - 1)*D1 - s_t*((expm1(h)-h)/h² - .5)*D2 (3M)
+        ratio = alpha[1:] / alpha[:-1]
+        c0 = sigma[1:] * phi_p                   # sigma_t * (e^{h} - 1)
+        # sign-bake so the shared body's +(cd1*D1 - cd2*D2) applies
+        cd1 = -sigma[1:] * (phi_p / safe_h - 1.0)
+        cd2 = sigma[1:] * ((phi_p - h) / safe_h**2 - 0.5)
     return dict(
         model_t=common.as_f32(model_t),          # (steps+1,)
-        ratio=common.as_f32(sigma[1:] / sigma[:-1]),
-        c0=common.as_f32(alpha[1:] * phi),       # alpha_t * (e^{-h} - 1)
-        cd1=common.as_f32(alpha[1:] * (phi / safe_h + 1.0)),
-        cd2=common.as_f32(alpha[1:] * ((phi + h) / safe_h**2 - 0.5)),
+        ratio=common.as_f32(ratio),
+        c0=common.as_f32(c0),
+        cd1=common.as_f32(cd1),
+        cd2=common.as_f32(cd2),
         r0=common.as_f32(np.where(r0 != 0, r0, 1.0)),
         r1=common.as_f32(np.where(r1 != 0, r1, 1.0)),
         o2=common.as_f32(o2),
@@ -99,6 +133,34 @@ def build_tables(
         node_alpha=common.as_f32(alpha),
         node_sigma=common.as_f32(sigma),
     )
+
+
+def _dynamic_threshold(x0, max_val: float, p: float = 0.995):
+    """Reference dynamic_thresholding (dpm_solver.py:333-390): per-sample
+    p-quantile of |x0| clamped >= max_val; clip to [-s, s] and rescale."""
+    flat = jnp.abs(x0).reshape(x0.shape[0], -1)
+    s = jnp.quantile(flat, p, axis=1)
+    s = jnp.maximum(s, max_val).reshape((-1,) + (1,) * (x0.ndim - 1))
+    return jnp.clip(x0, -s, s) / s
+
+
+def _model_fn(eps_fn, batch, prediction: str, thresholding: bool,
+              max_val: float):
+    """The solver's per-node model output: data prediction (++) or the raw
+    noise prediction; optional dynamic thresholding (data mode only, as in
+    the reference)."""
+    if prediction == "noise":
+        def f(x, t_node, a, s):
+            return eps_fn(x, common.broadcast_t(t_node, batch)).astype(jnp.float32)
+        return f
+
+    def f(x, t_node, a, s):
+        eps = eps_fn(x, common.broadcast_t(t_node, batch)).astype(jnp.float32)
+        x0 = (x - s * eps) / a
+        if thresholding:
+            x0 = _dynamic_threshold(x0, max_val)
+        return x0
+    return f
 
 
 def sample(
@@ -112,9 +174,17 @@ def sample(
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
+    prediction: str = "data",
+    thresholding: bool = False,
+    thresholding_max_val: float = 1.0,
 ) -> jnp.ndarray:
-    """DPM-Solver++ multistep. `eps_fn(x, t_float)` takes model times in [0, 999]."""
-    T = build_tables(schedule, steps, skip_type, order, lower_order_final)
+    """DPM-Solver multistep (++/data by default; prediction="noise" for the
+    plain solver). `eps_fn(x, t_float)` takes model times in [0, 999]."""
+    if thresholding and prediction != "data":
+        raise ValueError("thresholding applies to data prediction only "
+                         "(reference dpm_solver.py:333-390)")
+    T = build_tables(schedule, steps, skip_type, order, lower_order_final,
+                     prediction)
     batch = x_T.shape[0]
     n = steps
 
@@ -123,9 +193,8 @@ def sample(
         mask, x0, schedule.sqrt_alphas_cumprod, schedule.sqrt_one_minus_alphas_cumprod
     )
 
-    def data_pred(x, t_node, a, s):
-        eps = eps_fn(x, common.broadcast_t(t_node, batch)).astype(jnp.float32)
-        return (x - s * eps) / a
+    data_pred = _model_fn(eps_fn, batch, prediction, thresholding,
+                          thresholding_max_val)
 
     x_init = x_T.astype(jnp.float32)
     m0 = data_pred(x_init, T["model_t"][0], T["node_alpha"][0], T["node_sigma"][0])
@@ -194,7 +263,7 @@ def _orders_for_singlestep(steps: int, order: int):
 
 def build_singlestep_groups(
     schedule: DiffusionSchedule, steps: int, order: int = 2,
-    skip_type: str = "time_uniform",
+    skip_type: str = "time_uniform", prediction: str = "data",
 ):
     """Host-side per-group coefficient dicts for the singlestep solver.
 
@@ -225,30 +294,50 @@ def build_singlestep_groups(
         inner = _time_nodes(k, t_T=s, t_0=t, skip_type=skip_type)
         a, sg, lam = marginals(inner)
         h = lam[-1] - lam[0]
-        phi_1 = np.expm1(-h)
         co = dict(order=k)
         co["ev_mt"] = [(ti - 1.0 / N) * 1000.0 for ti in inner[:k]]
         co["ev_a"] = list(a[:k])
         co["ev_s"] = list(sg[:k])
-        co["at"] = sg[-1] / sg[0]
-        co["bt"] = -a[-1] * phi_1
         co["t_int"] = int(np.clip((t - 1.0 / N) * 1000.0, 0, N - 1))
-        if k >= 2:
-            r1 = (lam[1] - lam[0]) / h
-            phi_11 = np.expm1(-r1 * h)
-            co["a1"] = sg[1] / sg[0]
-            co["b1"] = -a[1] * phi_11
-            if k == 2:
-                co["ct"] = -(0.5 / r1) * a[-1] * phi_1
-            else:
-                r2 = (lam[2] - lam[0]) / h
-                phi_12 = np.expm1(-r2 * h)
-                phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
-                phi_2 = phi_1 / h + 1.0
-                co["a2"] = sg[2] / sg[0]
-                co["b2"] = -a[2] * phi_12
-                co["c2"] = (r2 / r1) * a[2] * phi_22
-                co["ct"] = (1.0 / r2) * a[-1] * phi_2
+        if prediction == "data":
+            phi_1 = np.expm1(-h)
+            co["at"] = sg[-1] / sg[0]
+            co["bt"] = -a[-1] * phi_1
+            if k >= 2:
+                r1 = (lam[1] - lam[0]) / h
+                co["a1"] = sg[1] / sg[0]
+                co["b1"] = -a[1] * np.expm1(-r1 * h)
+                if k == 2:
+                    co["ct"] = -(0.5 / r1) * a[-1] * phi_1
+                else:
+                    r2 = (lam[2] - lam[0]) / h
+                    phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
+                    phi_2 = phi_1 / h + 1.0
+                    co["a2"] = sg[2] / sg[0]
+                    co["b2"] = -a[2] * np.expm1(-r2 * h)
+                    co["c2"] = (r2 / r1) * a[2] * phi_22
+                    co["ct"] = (1.0 / r2) * a[-1] * phi_2
+        else:
+            # reference singlestep first/second/third updates,
+            # algorithm_type="dpmsolver" (noise prediction): alpha-ratio
+            # carries, sigma*expm1(+...) bases
+            phi_1 = np.expm1(h)
+            co["at"] = a[-1] / a[0]
+            co["bt"] = -sg[-1] * phi_1
+            if k >= 2:
+                r1 = (lam[1] - lam[0]) / h
+                co["a1"] = a[1] / a[0]
+                co["b1"] = -sg[1] * np.expm1(r1 * h)
+                if k == 2:
+                    co["ct"] = -(0.5 / r1) * sg[-1] * phi_1
+                else:
+                    r2 = (lam[2] - lam[0]) / h
+                    phi_22 = np.expm1(r2 * h) / (r2 * h) - 1.0
+                    phi_2 = phi_1 / h - 1.0
+                    co["a2"] = a[2] / a[0]
+                    co["b2"] = -sg[2] * np.expm1(r2 * h)
+                    co["c2"] = -(r2 / r1) * sg[2] * phi_22
+                    co["ct"] = -(1.0 / r2) * sg[-1] * phi_2
         groups.append(co)
     return groups
 
@@ -263,20 +352,28 @@ def sample_singlestep(
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
+    prediction: str = "data",
+    thresholding: bool = False,
+    thresholding_max_val: float = 1.0,
 ) -> jnp.ndarray:
-    """DPM-Solver++ singlestep (reference `method="singlestep"`,
+    """DPM-Solver singlestep (reference `method="singlestep"`,
     dpm_solver.py:1053-1080): `lax.scan` over the uniform max-order groups,
     the <=2 lower-order tail groups statically unrolled."""
-    groups = build_singlestep_groups(schedule, steps, order, skip_type)
+    if thresholding and prediction != "data":
+        raise ValueError("thresholding applies to data prediction only")
+    groups = build_singlestep_groups(schedule, steps, order, skip_type,
+                                     prediction)
     batch = x_T.shape[0]
     blend = common.masked_blend_fn(
         mask, x0, schedule.sqrt_alphas_cumprod, schedule.sqrt_one_minus_alphas_cumprod
     )
     keys = common.per_step_keys(key, len(groups))
 
+    mf = _model_fn(eps_fn, batch, prediction, thresholding,
+                   thresholding_max_val)
+
     def data_pred(x, mt, a, s):
-        eps = eps_fn(x, common.broadcast_t(mt, batch)).astype(jnp.float32)
-        return (x - s * eps) / a
+        return mf(x, mt, a, s)
 
     def group_update(x, co, k):
         m_s = data_pred(x, co["ev_mt"][0], co["ev_a"][0], co["ev_s"][0])
@@ -345,6 +442,7 @@ def sample_adaptive(
     theta: float = 0.9,
     t_err: float = 1e-5,
     max_nfe: int = 1000,
+    prediction: str = "data",
 ) -> jnp.ndarray:
     """Adaptive step-size DPM-Solver++ with an embedded (order-1, order) pair
     and step doubling, matching the reference's `dpm_solver_adaptive`:
@@ -355,6 +453,8 @@ def sample_adaptive(
     dpm_solver.py:1126-1172, rebuilt as jnp.interp over fp32 tables)."""
     if order not in (2, 3):
         raise NotImplementedError("adaptive order must be 2 or 3")
+    if prediction not in ("data", "noise"):
+        raise NotImplementedError("prediction must be 'data' or 'noise'")
     ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
     N = ac.shape[0]
     t_disc = np.arange(1, N + 1, dtype=np.float64) / N
@@ -388,6 +488,8 @@ def sample_adaptive(
         a, s, _ = marginals(t)
         mt = (t - 1.0 / N) * 1000.0
         eps = eps_fn(x, common.broadcast_t(mt, batch)).astype(jnp.float32)
+        if prediction == "noise":
+            return eps
         return (x - s * eps) / a
 
     def pair_update(x, t_s, t_t):
@@ -395,18 +497,25 @@ def sample_adaptive(
         a_s, s_s, lam_s = marginals(t_s)
         a_t, s_t, lam_t = marginals(t_t)
         h = lam_t - lam_s
-        phi_1 = jnp.expm1(-h)
         m_s = data_pred(x, t_s)
+        if prediction == "data":
+            phi_1 = jnp.expm1(-h)
+            carry_t, base_t = s_t / s_s, a_t * phi_1
+        else:
+            phi_1 = jnp.expm1(h)
+            carry_t, base_t = a_t / a_s, s_t * phi_1
         if order == 2:
-            x_low = s_t / s_s * x - a_t * phi_1 * m_s       # first_update
+            x_low = carry_t * x - base_t * m_s              # first_update
             r1 = 0.5
             lam_s1 = lam_s + r1 * h
             t_s1 = t_of_lam(lam_s1)
             a_s1, s_s1, _ = marginals(t_s1)
-            x_s1 = s_s1 / s_s * x - a_s1 * jnp.expm1(-r1 * h) * m_s
+            if prediction == "data":
+                x_s1 = s_s1 / s_s * x - a_s1 * jnp.expm1(-r1 * h) * m_s
+            else:
+                x_s1 = a_s1 / a_s * x - s_s1 * jnp.expm1(r1 * h) * m_s
             m_s1 = data_pred(x_s1, t_s1)
-            x_high = (s_t / s_s * x - a_t * phi_1 * m_s
-                      - (0.5 / r1) * a_t * phi_1 * (m_s1 - m_s))
+            x_high = x_low - (0.5 / r1) * base_t * (m_s1 - m_s)
         else:
             r1, r2 = 1.0 / 3.0, 2.0 / 3.0
             lam_s1 = lam_s + r1 * h
@@ -414,17 +523,29 @@ def sample_adaptive(
             t_s1, t_s2 = t_of_lam(lam_s1), t_of_lam(lam_s2)
             a_s1, s_s1, _ = marginals(t_s1)
             a_s2, s_s2, _ = marginals(t_s2)
-            x_s1 = s_s1 / s_s * x - a_s1 * jnp.expm1(-r1 * h) * m_s
+            if prediction == "data":
+                x_s1 = s_s1 / s_s * x - a_s1 * jnp.expm1(-r1 * h) * m_s
+            else:
+                x_s1 = a_s1 / a_s * x - s_s1 * jnp.expm1(r1 * h) * m_s
             m_s1 = data_pred(x_s1, t_s1)
-            x_low = (s_t / s_s * x - a_t * phi_1 * m_s      # second_update
-                     - (0.5 / r1) * a_t * phi_1 * (m_s1 - m_s))
-            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
-            phi_2 = phi_1 / h + 1.0
-            x_s2 = (s_s2 / s_s * x - a_s2 * jnp.expm1(-r2 * h) * m_s
-                    + (r2 / r1) * a_s2 * phi_22 * (m_s1 - m_s))
-            m_s2 = data_pred(x_s2, t_s2)
-            x_high = (s_t / s_s * x - a_t * phi_1 * m_s
-                      + (1.0 / r2) * a_t * phi_2 * (m_s2 - m_s))
+            x_low = (carry_t * x - base_t * m_s             # second_update
+                     - (0.5 / r1) * base_t * (m_s1 - m_s))
+            if prediction == "data":
+                phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+                phi_2 = phi_1 / h + 1.0
+                x_s2 = (s_s2 / s_s * x - a_s2 * jnp.expm1(-r2 * h) * m_s
+                        + (r2 / r1) * a_s2 * phi_22 * (m_s1 - m_s))
+                m_s2 = data_pred(x_s2, t_s2)
+                x_high = (carry_t * x - base_t * m_s
+                          + (1.0 / r2) * a_t * phi_2 * (m_s2 - m_s))
+            else:
+                phi_22 = jnp.expm1(r2 * h) / (r2 * h) - 1.0
+                phi_2 = phi_1 / h - 1.0
+                x_s2 = (a_s2 / a_s * x - s_s2 * jnp.expm1(r2 * h) * m_s
+                        - (r2 / r1) * s_s2 * phi_22 * (m_s1 - m_s))
+                m_s2 = data_pred(x_s2, t_s2)
+                x_high = (carry_t * x - base_t * m_s
+                          - (1.0 / r2) * s_t * phi_2 * (m_s2 - m_s))
         return x_low, x_high
 
     def cond(carry):

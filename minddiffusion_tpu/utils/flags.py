@@ -12,9 +12,10 @@ that monkeypatch env vars still observe their changes.
 Surviving flags (shipped-default opt-outs + tuning knobs; every deleted flag's
 lesson lives in ROADMAP.md "Tried and rejected"):
   MDT_WINO=0           opt out of the Winograd conv kernel entirely
-  MDT_WINO_TUNE=...    comma k=v overrides: hmax=<int>,cmin=<int>,dma=0,chain=0
-                       (shape-gate ceiling/floor, DMA-halo variant, merged
-                       resblock chaining)
+  MDT_WINO_TUNE=...    comma k=v conv-kernel tuning: hmax=<int>,cmin=<int>,
+                       dma=0,chain=0,lowco=1 (winograd shape-gate ceiling/
+                       floor, DMA-halo variant, merged resblock chaining,
+                       taps-in-N low-output-channel conv — ops/lowco)
   MDT_SPLIT_CONCAT=0   opt out of concat-free up-path resblocks
   MDT_MERGE_ALIGNED=0  opt out of the aligned-merge skip join (>=256-ch pairs)
   MDT_FUSED_UP=0       opt out of the subpixel fused upsample+conv
@@ -28,9 +29,12 @@ lesson lives in ROADMAP.md "Tried and rejected"):
                        default), "merged" (only norm_out stats of merge-
                        aligned resblocks — the one site class whose producer
                        conv measured real stat-epilogue drag, 97->82.5 ms),
-                       or "all" (every >=2MiB GN site; r4b A/B: 1.796 vs
+                       "all" (every >=2MiB GN site; r4b A/B: 1.796 vs
                        1.941 img/s — the blanket version LOSES: ds1 320-ch
-                       convs are lane-cap-bound, the epilogue was free)
+                       convs are lane-cap-bound, the epilogue was free),
+                       "stats"/"stats_t" (GroupNorm32 module sites only, no
+                       conv-prologue folding; _t reads the conv-native
+                       transposed layout — variable-isolation A/B modes)
   MDT_SRGAN_S2D=0      opt out of the space-to-depth blocked SRGAN tail conv
   MDT_GLIDE_SKIP_JOIN  GLIDE up-path skip-join strategy (default "concat";
                        "split" / "barrier" are the measured alternatives)
@@ -58,6 +62,7 @@ class Flags:
     wino_chain: bool = True
     wino_hmax: Optional[int] = None
     wino_cmin: Optional[int] = None
+    conv_lowco: bool = False
     split_concat: bool = True
     merge_aligned: bool = True
     fused_up: bool = True
@@ -96,9 +101,12 @@ def _parse_wino_tune(raw: str) -> dict:
             out["wino_dma"] = v.strip() != "0"
         elif k == "chain":
             out["wino_chain"] = v.strip() != "0"
+        elif k == "lowco":
+            out["conv_lowco"] = v.strip() == "1"
         else:
             raise ValueError(
-                f"MDT_WINO_TUNE key {k!r}: expected one of hmax/cmin/dma/chain")
+                f"MDT_WINO_TUNE key {k!r}: expected one of "
+                "hmax/cmin/dma/chain/lowco")
     return out
 
 
@@ -119,9 +127,10 @@ def _build(env: dict) -> Flags:
         kw["hoist_wino_glide"] = "wino" in parts
     gs = env.get("MDT_GN_STATS", "0")
     kw["gn_stats"] = {"1": "all"}.get(gs, gs)
-    if kw["gn_stats"] not in ("0", "all", "merged"):
+    if kw["gn_stats"] not in ("0", "all", "merged", "stats", "stats_t"):
         raise ValueError(
-            f"MDT_GN_STATS={gs!r}: expected 0, all/1, or merged")
+            f"MDT_GN_STATS={gs!r}: expected 0, all/1, merged, stats, or "
+            "stats_t")
     kw["srgan_s2d"] = env.get("MDT_SRGAN_S2D", "1") != "0"
     kw["glide_skip_join"] = env.get("MDT_GLIDE_SKIP_JOIN", "concat")
     bq = env.get("MDT_ATTN_BQ", "")

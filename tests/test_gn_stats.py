@@ -133,7 +133,6 @@ def test_merged_scope_resblock_matches_plain(monkeypatch):
     routes (drag=True); output must match the plain path. stats_route is
     forced (CPU backend); channel_sums falls back to the jnp reduction, so
     this pins the scoped code path's algebra."""
-    from minddiffusion_tpu.ops import gn_stats as gs
     from minddiffusion_tpu.models import unet
 
     x = jax.random.normal(jax.random.PRNGKey(11), (2, 4, 4, 320), jnp.float32)
@@ -144,8 +143,15 @@ def test_merged_scope_resblock_matches_plain(monkeypatch):
     params = blk.init(jax.random.PRNGKey(0), x, emb, sk)
     y_plain = blk.apply(params, x, emb, sk)
     monkeypatch.setenv("MDT_GN_STATS", "merged")
-    monkeypatch.setattr(gs, "stats_route", lambda *a, **k: True)
     monkeypatch.setattr(unet, "_gn_route",
                         lambda shape, esz, drag=False: drag)
     y_scoped = blk.apply(params, x, emb, sk)
     np.testing.assert_allclose(y_scoped, y_plain, rtol=2e-4, atol=2e-4)
+
+
+def test_transposed_kernel_matches_reference():
+    x = (jax.random.normal(jax.random.PRNGKey(14), (3, 8, 4, 96)) * 2.0)
+    s1, s2 = gn_stats.channel_sums_pallas_t(x, interpret=True)
+    r1, r2 = channel_sums_ref(x)
+    np.testing.assert_allclose(s1, r1, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(s2, r2, rtol=1e-5, atol=1e-4)

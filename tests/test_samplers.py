@@ -273,3 +273,70 @@ def test_run_sampler_guards():
     with pytest.raises(ValueError, match="mask"):
         _run_sampler("dpm_adaptive", None, None, None, 10, None,
                      mask=np.ones(1))
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_dpm_solver_noise_prediction_exact_under_oracle(sched, x_star, x_T,
+                                                        order):
+    """prediction='noise' (plain DPM-Solver, reference algorithm_type=
+    'dpmsolver'): under the continuous oracle eps(x(t), t) is CONSTANT along
+    the exact trajectory, so every order's update is exact and must land on
+    the same analytic endpoint as the ++ family."""
+    eps_fn = make_continuous_oracle(sched, x_star)
+    out = jax.jit(lambda x: dpm_solver.sample(
+        eps_fn, x, sched, steps=15, order=order, prediction="noise"))(x_T)
+    expected = _dpm_expected(sched, 15, x_star, x_T, order=order)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-3, rtol=0)
+
+
+@pytest.mark.parametrize("order,steps", [(2, 12), (3, 13)])
+def test_dpm_singlestep_noise_prediction(sched, x_star, x_T, order, steps):
+    eps_fn = make_continuous_oracle(sched, x_star)
+    out = jax.jit(lambda x: dpm_solver.sample_singlestep(
+        eps_fn, x, sched, steps=steps, order=order, prediction="noise"))(x_T)
+    expected = _dpm_expected(sched, steps, x_star, x_T, order=min(order, 3))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-3, rtol=0)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_dpm_adaptive_noise_prediction(sched, x_star, x_T, order):
+    eps_fn = make_continuous_oracle(sched, x_star)
+    out = jax.jit(lambda x: dpm_solver.sample_adaptive(
+        eps_fn, x, sched, order=order, prediction="noise"))(x_T)
+    expected = _dpm_expected(sched, 15, x_star, x_T)
+    # tolerance = the controller's own accept band (atol 0.0078): constant-
+    # eps makes E~0, so the step size opens up and fp32 lambda<->t interp
+    # error accumulates to just under the controller's atol
+    np.testing.assert_allclose(np.asarray(out), expected, atol=8e-3, rtol=0)
+
+
+def test_dpm_dynamic_thresholding_math():
+    """_dynamic_threshold == the reference's quantile-clip-rescale."""
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(3, 4, 4, 2) * 3.0, jnp.float32)
+    out = np.asarray(dpm_solver._dynamic_threshold(x0, max_val=1.0))
+    xf = np.asarray(x0).reshape(3, -1)
+    s = np.maximum(np.quantile(np.abs(xf), 0.995, axis=1), 1.0)
+    ref = np.clip(np.asarray(x0), -s[:, None, None, None],
+                  s[:, None, None, None]) / s[:, None, None, None]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    # values already inside [-max_val, max_val] pass through unchanged
+    small = jnp.asarray(rng.randn(2, 8) * 0.1, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dpm_solver._dynamic_threshold(small, 1.0)),
+        np.asarray(small), rtol=1e-5, atol=1e-6)
+
+
+def test_dpm_thresholding_rejects_noise_mode(sched, x_star, x_T):
+    eps_fn = make_continuous_oracle(sched, x_star)
+    with pytest.raises(ValueError, match="data prediction"):
+        dpm_solver.sample(eps_fn, x_T, sched, steps=5, prediction="noise",
+                          thresholding=True)
+
+
+def test_dpm_thresholding_sampling_runs(sched, x_star, x_T):
+    """thresholding on, oracle in range: endpoint unchanged (s clamps to 1)."""
+    eps_fn = make_continuous_oracle(sched, x_star)
+    out = jax.jit(lambda x: dpm_solver.sample(
+        eps_fn, x, sched, steps=15, thresholding=True))(x_T)
+    assert np.isfinite(np.asarray(out)).all()
