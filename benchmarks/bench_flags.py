@@ -51,14 +51,47 @@ VARIANTS: dict[str, dict[str, str]] = {
     "copy_region": {"xla_tpu_copy_insertion_use_region_analysis": "true"},
     "licm2": {"xla_tpu_licm_size_inflation_ratio": "2"},
     "cond_motion": {"xla_tpu_conditional_code_motion_allowance": "100000"},
+    # wave 3 (r4, mined from libtpu 0.0.34; shipped base now includes licm2
+    # via xla_opts.SHIPPED, so each is measured ON TOP of licm2)
+    "dc_convert": {"xla_tpu_licm_size_inflation_ratio": "2",
+                   "xla_tpu_allow_conv_input_fusion_with_downcast_convert": "true"},
+    "x16_2ndminor": {"xla_tpu_licm_size_inflation_ratio": "2",
+                     "xla_tpu_enable_large_2nd_minor_layout_for_x16": "true",
+                     "xla_tpu_allow_large_2nd_minor_layout_for_x16": "true"},
+    "reduce_input_fusion": {"xla_tpu_licm_size_inflation_ratio": "2",
+                            "xla_tpu_allow_input_fusion_in_certain_reduce_ops": "true"},
+    "reduce_rwb": {"xla_tpu_licm_size_inflation_ratio": "2",
+                   "xla_tpu_allow_multi_dim_reduce_rwb": "true"},
+    "sublane_bitcast": {"xla_tpu_licm_size_inflation_ratio": "2",
+                        "xla_tpu_enable_sublane_major_scaling_bitcast_fusion": "true"},
+    "layer_sched": {"xla_tpu_licm_size_inflation_ratio": "2",
+                    "xla_tpu_enable_latency_hiding_layer_scheduler": "true"},
+    "overlap_layer": {"xla_tpu_licm_size_inflation_ratio": "2",
+                      "xla_tpu_enable_multi_compute_overlap_in_layer_scheduler": "true"},
+    "copy_fusion_split": {"xla_tpu_licm_size_inflation_ratio": "2",
+                          "xla_tpu_copy_fusion_allow_split": "true"},
+    "scavenge_vmem": {"xla_tpu_licm_size_inflation_ratio": "2",
+                      "xla_tpu_override_scavenge_vmem_for_fusions": "true"},
+    "autotune_dots": {"xla_tpu_licm_size_inflation_ratio": "2",
+                      "xla_tpu_autotune_dots": "true"},
+    "autotune_windows": {"xla_tpu_licm_size_inflation_ratio": "2",
+                         "xla_tpu_autotune_windows": "true"},
+    "licm2_pin": {"xla_tpu_licm_size_inflation_ratio": "2"},
 }
 WAVE2 = ("x8_conv", "lp_llo", "copy_elision", "copy_region", "licm2",
          "cond_motion")
+WAVE3 = ("licm2_pin", "dc_convert", "x16_2ndminor", "reduce_input_fusion",
+         "reduce_rwb", "sublane_bitcast", "layer_sched", "overlap_layer",
+         "copy_fusion_split", "scavenge_vmem", "autotune_dots",
+         "autotune_windows")
 
 
 def main():
-    names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        n for n in VARIANTS if n not in WAVE2]
+    if sys.argv[1:] == ["wave3"]:
+        names = list(WAVE3)
+    else:
+        names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+            n for n in VARIANTS if n not in WAVE2 and n not in WAVE3]
     unknown = [n for n in names if n not in VARIANTS]
     if unknown:  # fail BEFORE hours of compiles, not mid-sweep
         sys.exit(f"unknown variant(s): {unknown}; known: {list(VARIANTS)}")

@@ -152,7 +152,11 @@ def _stat_sums(x, drag=False):
     Default "0": inline jnp reduction (XLA fuses it into the producer)."""
     mode = flags().gn_stats
     if mode == "all" or (mode == "merged" and drag):
-        return channel_sums(x)
+        # transposed reads: the r4d isolation A/B measured the standard-
+        # layout kernel boundary at −0.13 img/s of pure relayout copies
+        # (conv emitters produce batch-in-sublanes layouts) vs −0.008 for
+        # the (H,W,B,C)-view kernel. Always read transposed.
+        return channel_sums(x, True)
     x32 = x.astype(jnp.float32)
     return jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))
 

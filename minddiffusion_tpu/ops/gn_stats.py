@@ -6,7 +6,7 @@ gets fused by XLA INTO the producing convolution as a tuple-output epilogue
 program vs 163.6 TF/s for plain conv+add fusions; worst single site 97 ms).
 Splitting with an optimization_barrier makes XLA emit the stats as a
 standalone reduce at only ~245 GB/s, which costs back what the conv gains
-(the MDT_GN_BARRIER experiment measured neutral). A Pallas custom call is
+(the r3 GN-barrier experiment measured neutral). A Pallas custom call is
 unfusable by construction — the producer conv keeps its fast emission — and
 streams the tensor once at HBM roofline with the square on the VPU for free.
 

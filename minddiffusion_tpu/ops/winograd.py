@@ -256,7 +256,7 @@ def wino_chain_ok(h: int, w: int, c_mid: int) -> bool:
     import os
 
     # chains exchange A-form tiles, which only the DMA+GN kernel path can
-    # produce/consume — the MDT_WINO_DMA=0 opt-out must disable chaining too
+    # produce/consume — the MDT_WINO_TUNE=dma=0 opt-out must disable chaining too
     # (otherwise conv3x3_winograd's merged-I/O asserts fire)
     return (flags().wino_chain and flags().wino_dma
             and h % 2 == 0 and w % 2 == 0 and h <= 48 and c_mid % 128 == 0)
@@ -305,7 +305,7 @@ def _conv3x3_winograd_jit(
     happens in-kernel with pad masking; otherwise it is applied elementwise
     before padding (numerically identical — silu in fp32 either way).
 
-    `dma` (default on; MDT_WINO_DMA=0 opts out): the kernel fetches its own
+    `dma` (default on; MDT_WINO_TUNE=dma=0 opts out): the kernel fetches its own
     overlapping halo windows via async copies instead of the host
     materializing a gathered tile array (see _wino_kernel_dma).
     """
@@ -423,7 +423,7 @@ def conv3x3_winograd(
     out_merged: bool = False, in_dims: Optional[tuple] = None,
 ):
     """Winograd F(2x2,3x3) conv — see _conv3x3_winograd_jit for the full
-    contract. This thin wrapper resolves the MDT_WINO_DMA env default
+    contract. This thin wrapper resolves the dma-variant flag default
     OUTSIDE the jit so the flag participates in the dispatch (an env read
     inside the traced body is baked into the first trace and silently
     ignored on later in-process flips — jit caches key on dma=None)."""
