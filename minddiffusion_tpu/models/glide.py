@@ -23,7 +23,6 @@ kernel covers the whole op; bf16 compute, fp32 norm/softmax islands.
 """
 from __future__ import annotations
 
-import os
 from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
@@ -59,6 +58,9 @@ class XfConfig:
     n_vocab: int = 50001
     xf_padding: bool = True
     xf_final_ln: bool = True
+    # hard-error on out-of-range token ids instead of clamping (debug aid;
+    # the GLIDE CLIs set this from MDT_DEBUG_TOKENS=1)
+    debug_tokens: bool = False
     dtype: Any = struct.field(pytree_node=False, default=jnp.float32)
 
 
@@ -97,9 +99,9 @@ class XfTextEncoder(nn.Module):
                              (cfg.text_ctx, cfg.width), jnp.float32)
         # mode='clip': jax fills OOB gathers with NaN by default; clamp
         # instead so stray token ids degrade gracefully. Clamping can mask
-        # tokenizer bugs, so MDT_DEBUG_TOKENS=1 turns OOB ids into a hard
-        # error (checkify-free host assert via debug_callback).
-        if os.environ.get("MDT_DEBUG_TOKENS"):
+        # tokenizer bugs, so XfConfig.debug_tokens (cli: MDT_DEBUG_TOKENS=1)
+        # turns OOB ids into a hard error (host assert via debug_callback).
+        if cfg.debug_tokens:
             def _check(tok):
                 if (tok < 0).any() or (tok >= cfg.n_vocab).any():
                     raise ValueError(

@@ -20,6 +20,8 @@ re-draw exactly (guider.py:36-50) by folding the uncond xf back into the scan
 """
 from __future__ import annotations
 
+import os
+
 import dataclasses
 from typing import Any, Callable, Optional
 
@@ -81,7 +83,8 @@ class GlideModels:
         """Defaults mirror default_options.py:19-148 (base 64px / upsample 256px)."""
         base_unet = base_unet or GlideUNetConfig.base_64(dtype=dtype, attn_impl=attn_impl)
         sr_unet = sr_unet or GlideUNetConfig.upsample_256(dtype=dtype, attn_impl=attn_impl)
-        xf = xf or XfConfig(dtype=dtype)
+        xf = xf or XfConfig(dtype=dtype, debug_tokens=bool(
+            os.environ.get("MDT_DEBUG_TOKENS")))
         base_betas = make_beta_schedule("squaredcos_cap_v2", diffusion_steps)
         sr_betas = make_beta_schedule("linear_plain", diffusion_steps)
         return cls(

@@ -102,7 +102,10 @@ def _parse_wino_tune(raw: str) -> dict:
         elif k == "chain":
             out["wino_chain"] = v.strip() != "0"
         elif k == "lowco":
-            out["conv_lowco"] = v.strip() == "1"
+            v = v.strip()
+            if v not in ("0", "1"):
+                raise ValueError(f"MDT_WINO_TUNE lowco={v!r}: expected 0 or 1")
+            out["conv_lowco"] = v == "1"
         else:
             raise ValueError(
                 f"MDT_WINO_TUNE key {k!r}: expected one of "

@@ -1,0 +1,64 @@
+"""utils/flags: the centralized MDT_* surface (VERDICT r3 weak-4 contract).
+
+Pins the two structural guarantees of the r4 flag hygiene:
+  * every surviving env flag goes through utils/flags (snapshot rebuilt only
+    when env changes), and the surface stays <= 12 variables;
+  * no `os.environ` reads exist anywhere under models/ (model forward paths
+    read the resolved snapshot instead).
+"""
+import os
+import pathlib
+
+from minddiffusion_tpu.utils import flags as flags_mod
+from minddiffusion_tpu.utils.flags import flags
+
+
+def test_flag_surface_bounded():
+    assert len(flags_mod._KEYS) <= 12, (
+        "MDT_* surface grew past the 12-flag hygiene budget; consolidate "
+        f"before adding: {flags_mod._KEYS}")
+
+
+def test_no_environ_reads_in_models():
+    root = pathlib.Path(flags_mod.__file__).resolve().parents[1] / "models"
+    offenders = [p.name for p in root.glob("*.py")
+                 if "os.environ" in p.read_text()]
+    assert not offenders, (
+        f"os.environ read inside models/ {offenders} — route it through "
+        "utils/flags (resolved-once snapshot)")
+
+
+def test_snapshot_rebuilds_on_env_change(monkeypatch):
+    monkeypatch.delenv("MDT_WINO", raising=False)
+    assert flags().wino is True
+    monkeypatch.setenv("MDT_WINO", "0")
+    assert flags().wino is False
+    f1 = flags()
+    assert flags() is f1  # unchanged env -> cached object
+    monkeypatch.setenv("MDT_WINO", "1")
+    assert flags().wino is True
+
+
+def test_defaults_are_shipped_config(monkeypatch):
+    for k in flags_mod._KEYS:
+        monkeypatch.delenv(k, raising=False)
+    f = flags()
+    # the shipped defaults (measured winners stay on, measured losses off)
+    assert f.wino and f.split_concat and f.merge_aligned and f.fused_up
+    assert f.cfg_dedup and f.hoist and f.srgan_s2d
+    assert f.gn_stats == "0"          # r4: every kernel-stats mode lost e2e
+    assert f.glide_skip_join == "concat"
+    assert f.conv_lowco is False      # pending the GLIDE A/B
+    assert f.attn_bq is None and f.wino_hmax is None
+
+
+def test_bad_values_raise(monkeypatch):
+    import pytest
+
+    monkeypatch.setenv("MDT_GN_STATS", "bogus")
+    with pytest.raises(ValueError, match="MDT_GN_STATS"):
+        flags()
+    monkeypatch.setenv("MDT_GN_STATS", "0")
+    monkeypatch.setenv("MDT_WINO_TUNE", "lowco=x=1,")
+    with pytest.raises(ValueError):
+        flags()
