@@ -155,3 +155,28 @@ def test_transposed_kernel_matches_reference():
     r1, r2 = channel_sums_ref(x)
     np.testing.assert_allclose(s1, r1, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(s2, r2, rtol=1e-5, atol=1e-4)
+
+
+def test_merge_gate_low_waste_sum(monkeypatch):
+    """The r4 low-waste extension: 640+320 (=960, 6.7% K-pad) merges; the
+    merged output matches the split/concat paths; 20%-waste sums stay out."""
+    import os
+    from minddiffusion_tpu.models import unet
+
+    x = jax.random.normal(jax.random.PRNGKey(15), (2, 4, 4, 640), jnp.float32)
+    sk = jax.random.normal(jax.random.PRNGKey(16), (2, 4, 4, 320), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(17), (2, 64), jnp.float32)
+    blk = unet.ResBlock(out_channels=320, dtype=jnp.float32)
+    monkeypatch.setenv("MDT_GN_STATS", "0")
+    monkeypatch.setenv("MDT_MERGE_ALIGNED", "0")
+    params = blk.init(jax.random.PRNGKey(0), x, emb, sk)
+    ref = blk.apply(params, x, emb, sk)
+    monkeypatch.setenv("MDT_MERGE_ALIGNED", "1")
+    calls = []
+    real = jax.lax.optimization_barrier
+    monkeypatch.setattr(jax.lax, "optimization_barrier",
+                        lambda v: calls.append(getattr(v, "shape", None)) or real(v))
+    out = blk.apply(params, x, emb, sk)
+    assert (2, 4, 4, 960) in calls, "960-ch low-waste merge did not fire"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
