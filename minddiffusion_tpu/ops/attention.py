@@ -174,6 +174,7 @@ def packed_attention(
     heads: int,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
+    block_q: Optional[int] = None,
 ) -> jnp.ndarray:
     """Attention on packed (B, N, C=H*D) tensors — the model's native layout.
 
@@ -197,7 +198,11 @@ def packed_attention(
         # tile fits; fall back to 128 for long keys. The single documented
         # score-tile budget: bq * nk * 4 (fp32) <= _SCORE_TILE_BUDGET.
         bq = 256 if 256 * nk * 4 <= _SCORE_TILE_BUDGET else 128
-        bq_env = flags().attn_bq
+        # call-site hint (e.g. GLIDE passes 1024: its short-nk sites measured
+        # 2.005 vs 1.999 img/s with the whole-nq tile — the larger q tile
+        # amortizes the per-tile K/V reload at small nk); the MDT_ATTN_BQ
+        # env override wins over the hint for A/Bs
+        bq_env = flags().attn_bq or block_q
         if bq_env:
             # A/B override (GLIDE's short-nk sites run 75T vs SD's 96T — a
             # larger q tile amortizes the per-tile K/V reload at small nk).
