@@ -238,12 +238,10 @@ class ResBlock(nn.Module):
         if skip is not None:
             cx, cs = x.shape[-1], skip.shape[-1]
             esz_ = jnp.dtype(self.dtype).itemsize
-            csum = cx + cs
             if (flags().merge_aligned
-                    and (cx % 128 or cs % 128)
-                    and (csum % 128 == 0 or 8 * ((-csum) % 128) <= csum)
+                    and (cx % 128 or cs % 128) and (cx + cs) % 128 == 0
                     and min(cx, cs) >= 256
-                    and not wino_route(x.shape[1], x.shape[2], csum,
+                    and not wino_route(x.shape[1], x.shape[2], cx + cs,
                                        self.out_channels, itemsize=esz_)):
                 # ds1 up-resblocks: the 320-ch halves are lane-MISaligned
                 # (pad to 384 on K and N — convert_reduce sites at 122T)
@@ -257,13 +255,11 @@ class ResBlock(nn.Module):
                 # 320+320); GLIDE's 192+192 tiers stay on the split path,
                 # which benched 1.999-2.005 img/s. MDT_MERGE_ALIGNED=0
                 # opts out.
-                # r4 extension: LOW-WASTE misaligned sums also merge when
-                # the K-pad overhead is <= 1/8 (960 -> 1024 = 6.7%): the
-                # up_0_0 640+320 split conv was the last 122 TF/s site
-                # (convert_reduce_fusion.507 = 97 ms + fusion.6707 = 43 ms,
-                # r4c per-site profile) while its merged 640-wide siblings
-                # run 152.6T. The measured-fatal pad class (320->384 = 20%,
-                # bench_pad384) stays excluded by the 1/8 bound.
+                # r4e REJECTED extension: also merging low-K-pad-waste sums
+                # (the 960-ch up_0_0, 6.7% pad) measured 1.9155 vs the
+                # 1.941-1.943 anchor — the materialized 126 MB concat +
+                # barrier costs more than the 122 TF/s split mega-fusion it
+                # replaces. The gate stays exact-aligned.
                 x = jax.lax.optimization_barrier(
                     jnp.concatenate([x, skip], axis=-1))
                 merged_in = True

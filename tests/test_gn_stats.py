@@ -157,9 +157,10 @@ def test_transposed_kernel_matches_reference():
     np.testing.assert_allclose(s2, r2, rtol=1e-5, atol=1e-4)
 
 
-def test_merge_gate_low_waste_sum(monkeypatch):
-    """The r4 low-waste extension: 640+320 (=960, 6.7% K-pad) merges; the
-    merged output matches the split/concat paths; 20%-waste sums stay out."""
+def test_merge_gate_rejects_low_waste_sum(monkeypatch):
+    """r4e: merging the 960-ch (640+320) pair measured a clear e2e LOSS
+    (1.9155 vs 1.941-1.943) — the gate must stay exact-128-aligned, so the
+    960 case takes the split path (no 960-wide barrier fires)."""
     import os
     from minddiffusion_tpu.models import unet
 
@@ -168,15 +169,12 @@ def test_merge_gate_low_waste_sum(monkeypatch):
     emb = jax.random.normal(jax.random.PRNGKey(17), (2, 64), jnp.float32)
     blk = unet.ResBlock(out_channels=320, dtype=jnp.float32)
     monkeypatch.setenv("MDT_GN_STATS", "0")
-    monkeypatch.setenv("MDT_MERGE_ALIGNED", "0")
-    params = blk.init(jax.random.PRNGKey(0), x, emb, sk)
-    ref = blk.apply(params, x, emb, sk)
     monkeypatch.setenv("MDT_MERGE_ALIGNED", "1")
+    params = blk.init(jax.random.PRNGKey(0), x, emb, sk)
     calls = []
     real = jax.lax.optimization_barrier
     monkeypatch.setattr(jax.lax, "optimization_barrier",
                         lambda v: calls.append(getattr(v, "shape", None)) or real(v))
     out = blk.apply(params, x, emb, sk)
-    assert (2, 4, 4, 960) in calls, "960-ch low-waste merge did not fire"
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
+    assert (2, 4, 4, 960) not in calls, "rejected low-waste merge re-enabled"
+    assert np.isfinite(np.asarray(out)).all()
