@@ -1,4 +1,16 @@
-"""Low-output-channel 3x3 conv as taps-in-N GEMM + constant fix-up conv.
+"""STATUS: REJECTED (r4d/r4g, e2e + profile). GLIDE SR cascade 1.986-1.991
+vs 2.006 shipped (-29 ms SR stage); SD2 VAE tail 1.9385 vs 1.9425. The r4g
+profile attributes the loss to 128-lane padding of every tiny-channel
+materialization: the co=6 output (and the 54-lane z) pad to 128 lanes, so
+the split/divide/multiply consumers that previously FUSED into the direct
+conv become standalone passes reading ~21x padded bytes
+(divide_multiply_fusion 4.6->26.9 ms, split 4.8->16.4, copy +8). The
+7.3 TF/s direct conv wins by keeping the whole chain in one fusion.
+Lesson: on TPU, tiny-channel tensors must never be materialized more than
+once — FLOP-efficiency tricks that add materializations lose to lane
+padding.
+
+Low-output-channel 3x3 conv as taps-in-N GEMM + constant fix-up conv.
 
 Problem: a 3x3 conv with c_out << 128 wastes the MXU's lane dimension —
 GLIDE's SR out_conv (192 -> 6 at 256²) ran 43 ms @ 7.3 TF/s (r3d xprof,

@@ -272,18 +272,6 @@ def conv3x3_dispatch(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.nda
     else:
         _, h, w, c = x.shape
     features = kernel.shape[-1]
-    if (gn is None and in_dims is None and flags().conv_lowco
-            and jax.default_backend() == "tpu"):
-        from minddiffusion_tpu.ops.lowco import conv3x3_lowco, lowco_wins
-
-        if lowco_wins(h, w, c, features):
-            # tiny-c_out tail convs (GLIDE SR out_conv 256²x192->6 ran
-            # 7.3 TF/s direct — 4.7% N-lane utilization): taps-in-N GEMM +
-            # constant fix-up conv (ops/lowco)
-            x = x.astype(dtype)
-            if bias is None:
-                bias = jnp.zeros((features,), jnp.float32)
-            return conv3x3_lowco(x, kernel.astype(dtype), bias)
     use_wino = wino_route(h, w, c, features,
                           itemsize=jnp.dtype(dtype).itemsize)
     x = x.astype(dtype)

@@ -13,9 +13,8 @@ Surviving flags (shipped-default opt-outs + tuning knobs; every deleted flag's
 lesson lives in ROADMAP.md "Tried and rejected"):
   MDT_WINO=0           opt out of the Winograd conv kernel entirely
   MDT_WINO_TUNE=...    comma k=v conv-kernel tuning: hmax=<int>,cmin=<int>,
-                       dma=0,chain=0,lowco=1 (winograd shape-gate ceiling/
-                       floor, DMA-halo variant, merged resblock chaining,
-                       taps-in-N low-output-channel conv — ops/lowco)
+                       dma=0,chain=0 (winograd shape-gate ceiling/floor,
+                       DMA-halo variant, merged resblock chaining)
   MDT_SPLIT_CONCAT=0   opt out of concat-free up-path resblocks
   MDT_MERGE_ALIGNED=0  opt out of the aligned-merge skip join (>=256-ch pairs)
   MDT_FUSED_UP=0       opt out of the subpixel fused upsample+conv
@@ -62,7 +61,6 @@ class Flags:
     wino_chain: bool = True
     wino_hmax: Optional[int] = None
     wino_cmin: Optional[int] = None
-    conv_lowco: bool = False
     split_concat: bool = True
     merge_aligned: bool = True
     fused_up: bool = True
@@ -101,15 +99,10 @@ def _parse_wino_tune(raw: str) -> dict:
             out["wino_dma"] = v.strip() != "0"
         elif k == "chain":
             out["wino_chain"] = v.strip() != "0"
-        elif k == "lowco":
-            v = v.strip()
-            if v not in ("0", "1"):
-                raise ValueError(f"MDT_WINO_TUNE lowco={v!r}: expected 0 or 1")
-            out["conv_lowco"] = v == "1"
         else:
             raise ValueError(
                 f"MDT_WINO_TUNE key {k!r}: expected one of "
-                "hmax/cmin/dma/chain/lowco")
+                "hmax/cmin/dma/chain")
     return out
 
 

@@ -48,7 +48,6 @@ def test_defaults_are_shipped_config(monkeypatch):
     assert f.cfg_dedup and f.hoist and f.srgan_s2d
     assert f.gn_stats == "0"          # r4: every kernel-stats mode lost e2e
     assert f.glide_skip_join == "concat"
-    assert f.conv_lowco is False      # pending the GLIDE A/B
     assert f.attn_bq is None and f.wino_hmax is None
 
 
@@ -59,6 +58,6 @@ def test_bad_values_raise(monkeypatch):
     with pytest.raises(ValueError, match="MDT_GN_STATS"):
         flags()
     monkeypatch.setenv("MDT_GN_STATS", "0")
-    monkeypatch.setenv("MDT_WINO_TUNE", "lowco=x=1,")
+    monkeypatch.setenv("MDT_WINO_TUNE", "bogus_key=1")
     with pytest.raises(ValueError):
         flags()
