@@ -77,7 +77,7 @@ class TailConv9x9(nn.Module):
     """Final 9x9 -> 3ch conv; param-tree-identical to nn.Conv(3, (9,9)).
 
     Routes through `blocked_tail_conv` (space-to-depth-4) unless
-    MDT_SRGAN_S2D=0 or the spatial dims aren't multiples of 4.
+    MDT_GLIDE_TUNE=s2d=0 or the spatial dims aren't multiples of 4.
     """
     features: int = 3
 

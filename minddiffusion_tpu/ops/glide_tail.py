@@ -1,0 +1,271 @@
+"""Fused GLIDE SR sampler tail: GroupNorm-apply + SiLU + the eps-half of the
+3x3 out_conv + the DDIM (eta=0) step math, one Pallas pass.
+
+Why (r4d/r4g measured evidence): the SR-stage out_conv (192 -> 6 at 256²,
+reference Taichu-GLIDE model/unet.py `self.out`) runs as an XLA fusion at
+7.3 TF/s — the 6-channel output pads to 128 MXU lanes (4.7% utilization,
+~1.6 ms/step, 43 ms of the 27-step stage). Every FLOP-level fix tried at the
+XLA level lost: space-to-depth cannot help a 3x3 (kernel-redundancy x padding
+is invariant, models/srgan.py note), and the taps-in-N GEMM + shift-add form
+(benchmarks/research/lowco.py) materializes tiny-channel intermediates that
+pad to 128 lanes in HBM, so the downstream split/divide consumers read ~21x
+padded bytes (-29 ms measured). The surviving shape of the idea is to hold
+the WHOLE chain in one kernel so no tiny-channel tensor ever reaches HBM:
+
+    h (B,H,W,192 bf16, pre-out_norm)  --GN affine + SiLU-->  xn
+    z = xn @ W54      (taps-in-N GEMM: N = 9 taps x 3 eps channels = 27
+                       lanes vs 6 -> ~10x better MXU lane utilization)
+    y = shift-add     (9 batch-aligned sublane shifts, VMEM-only)
+    eps -> pred_x0 -> clipped-eps -> x_{t-1}   (DDIM eta=0 step,
+                       gaussian_diffusion.py ddim path — only the eps half
+                       of the model output is live there, the learned-
+                       variance half is dead under eta=0)
+
+Layout design (the r4 Pallas-boundary rule, CLAUDE.md): the kernel takes h
+through its (H, W, B, C) TRANSPOSED VIEW so the operand's default layout
+coincides with the producing convolution's batch-in-sublanes memory order
+({3,0,2,1}) — XLA bitcasts instead of inserting a ~0.5 ms relayout copy of
+the 201 MB feature map. With B(=8) riding the sublane minor-2 dim, every
+spatial tap offset becomes a multiple of 8 sublanes, i.e. a NATIVE aligned
+vector slice (this is the batch-in-sublanes kernel-variant mechanism the r4
+handoff names; it works here because the lane dim carries the full C=192,
+unlike flash-attention's d=64 head slices).
+
+The GroupNorm statistics stay OUTSIDE the kernel as plain jnp reductions:
+XLA fuses them into the producing conv as a tuple-output epilogue
+(convert_reduce class), which the r4 A/Bs measured as effectively free.
+
+Numerics: GN affine and SiLU in fp32 (cast to bf16 for the GEMM — same
+choice as the winograd GN prologue, ops/winograd.py), fp32 accumulation,
+and the eps tensor stays fp32 into the sampler math (the unfused path
+round-trips eps through the model's bf16 output cast) — identical
+contraction up to tap-order reassociation and one fewer bf16 rounding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dmas(h_any, xs_ref, sems, j, slot, *, rows: int, width: int, height: int):
+    """Three fixed-shape async copies filling scratch slot `slot` with block
+    j's (rows+2)-row halo window: main body, top halo row, bottom halo row.
+    At the image edges the halo source row is CLAMPED (reads a duplicate
+    in-range row) — the kernel zeroes those scratch rows afterwards, so the
+    duplicate content never enters the math; clamping only keeps the DMA
+    in bounds with a static shape (uniform across blocks = double-bufferable)."""
+    r0 = j * rows
+    main = pltpu.make_async_copy(
+        h_any.at[pl.ds(r0, rows)],
+        xs_ref.at[slot, pl.ds(1, rows), pl.ds(2, width)],
+        sems.at[slot, 0])
+    top = pltpu.make_async_copy(
+        h_any.at[pl.ds(jnp.maximum(r0 - 1, 0), 1)],
+        xs_ref.at[slot, pl.ds(0, 1), pl.ds(2, width)],
+        sems.at[slot, 1])
+    bot = pltpu.make_async_copy(
+        h_any.at[pl.ds(jnp.minimum(r0 + rows, height - 1), 1)],
+        xs_ref.at[slot, pl.ds(rows + 1, 1), pl.ds(2, width)],
+        sems.at[slot, 2])
+    return main, top, bot
+
+
+def _tail_kernel(h_any, x_ref, mult_ref, add_ref, wt_ref, wc_ref, coef_ref,
+                 o_ref, xs_ref, xn_ref, sems, *, rows: int, width: int,
+                 height: int, batch: int, nblk: int):
+    """Grid (H/rows,). Shapes (per block):
+      h_any: (H, W, B, C) bf16 in ANY memory (whole array; manual halo DMA)
+      x_ref: (rows, W, B, 3) f32    current latent block
+      mult/add: (B, C) f32          GN affine (rstd*gamma / beta - mean*...)
+      wt_ref: (C, 27) bf16          taps-in-N conv weights, lane = 3*tap + o
+      wc_ref: (28, 3) f32           tap-collapse matrix; row 27 = conv bias
+      coef_ref: (1, 4) f32 SMEM     [sr, srm1, sqrt(abar_prev), sqrt(1-abar_prev)]
+      o_ref: (rows, W, B, 3) f32    x_{t-1} block
+      xs_ref: (2, rows+2, W+4, B, C) bf16 scratch (double-buffered halo window)
+      xn_ref: (rows+2, W+4, B, C) bf16 scratch (normalized activations)
+    """
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    wp = width + 4
+
+    @pl.when(i == 0)
+    def _():
+        for c in _dmas(h_any, xs_ref, sems, i, slot,
+                       rows=rows, width=width, height=height):
+            c.start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        for c in _dmas(h_any, xs_ref, sems, i + 1, 1 - slot,
+                       rows=rows, width=width, height=height):
+            c.start()
+
+    for c in _dmas(h_any, xs_ref, sems, i, slot,
+                   rows=rows, width=width, height=height):
+        c.wait()
+
+    # GN affine + SiLU in fp32, store bf16 (the GEMM input dtype).
+    q = xs_ref[slot].astype(jnp.float32)          # (rows+2, W+4, B, C)
+    y = q * mult_ref[...] + add_ref[...]
+    xn_ref[...] = (y * jax.nn.sigmoid(y)).astype(xn_ref.dtype)
+    # SAME-pad semantics: the two pad columns each side and any out-of-image
+    # halo row must contribute exactly 0 (the affine of a zero/garbage entry
+    # is silu(add) != 0, so zero AFTER the affine).
+    zero_col = jnp.zeros((rows + 2, 2, batch, xn_ref.shape[-1]), xn_ref.dtype)
+    xn_ref[:, 0:2] = zero_col
+    xn_ref[:, wp - 2:wp] = zero_col
+
+    zero_row = jnp.zeros((1, wp, batch, xn_ref.shape[-1]), xn_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        xn_ref[0:1] = zero_row
+
+    @pl.when(i == nblk - 1)
+    def _():
+        xn_ref[rows + 1:rows + 2] = zero_row
+
+    # Taps-in-N GEMM over the whole halo window (batch rides sublanes, so
+    # the merge below only regroups untiled leading dims — layout-free).
+    s_in = (rows + 2) * wp * batch
+    xn = xn_ref[...].reshape(s_in, xn_ref.shape[-1])
+    z = jax.lax.dot_general(xn, wt_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (s_in, 27)
+
+    # Shift-add: out center (j, w) sits at flat sublane ((j+1)*wp + w+2)*B;
+    # tap (ky, kx) reads offset ((ky-1)*wp + (kx-1))*B — all multiples of
+    # B=8, i.e. aligned sublane slices. The contiguous span over all centers
+    # keeps every tap slice in range (min start = B, max end = s_in - B).
+    span_lo = (wp + 2) * batch
+    span = ((rows - 1) * wp + width) * batch
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 27), 1) // 3  # tap id
+    acc = jnp.zeros((span, 27), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            off = span_lo + ((ky - 1) * wp + (kx - 1)) * batch
+            mask = (lane == (ky * 3 + kx)).astype(jnp.float32)
+            acc = acc + z[off:off + span] * mask
+
+    # Collapse the 9 tap groups onto the 3 eps channels (+ bias via the
+    # appended ones lane) with one constant matmul.
+    ones = jnp.ones((span, 1), jnp.float32)
+    eps_span = jax.lax.dot_general(
+        jnp.concatenate([acc, ones], axis=1), wc_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # Drop the pad columns: out row j occupies flat [j*wp*B, +W*B) of the span.
+    eps = jnp.concatenate(
+        [eps_span[j * wp * batch:j * wp * batch + width * batch]
+         for j in range(rows)], axis=0)            # (rows*W*B, 3)
+
+    # DDIM eta=0 step (samplers/ancestral.py ddim_sample_loop; reference
+    # gaussian_diffusion.py:113-142): pred_x0 from eps, clip, re-derive eps,
+    # combine with the abar_prev coefficients.
+    sr = coef_ref[0, 0]
+    srm1 = coef_ref[0, 1]
+    sap = coef_ref[0, 2]
+    s1map = coef_ref[0, 3]
+    xm = x_ref[...].reshape(rows * width * batch, 3)
+    xs_scaled = sr * xm
+    px0 = jnp.clip(xs_scaled - srm1 * eps, -1.0, 1.0)
+    eps2 = (xs_scaled - px0) / srm1
+    o_ref[...] = (sap * px0 + s1map * eps2).reshape(rows, width, batch, 3)
+
+
+def _tap_major_weights(w_eps: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, 3) -> (C, 27) with lane index = (3*ky + kx) * 3 + o."""
+    c = w_eps.shape[2]
+    return jnp.transpose(w_eps, (2, 0, 1, 3)).reshape(c, 27)
+
+
+def _collapse_matrix(b_eps: jnp.ndarray) -> jnp.ndarray:
+    """(28, 3) fp32: rows 0..26 map lane 3t+o -> channel o, row 27 = bias."""
+    import numpy as np
+
+    m = np.zeros((28, 3), np.float32)
+    for t in range(9):
+        for o in range(3):
+            m[3 * t + o, o] = 1.0
+    return jnp.concatenate([jnp.asarray(m[:27]),
+                            b_eps.astype(jnp.float32)[None]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def ddim_tail_step(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
+                   add: jnp.ndarray, w_eps: jnp.ndarray, b_eps: jnp.ndarray,
+                   coefs: jnp.ndarray, block_rows: int = 8,
+                   interpret: bool = False) -> jnp.ndarray:
+    """x_{t-1} from pre-tail features. h: (B,H,W,C) bf16; x: (B,H,W,3) f32;
+    mult/add: (B,C) f32 GN affine; w_eps: (3,3,C,3); b_eps: (3,);
+    coefs: (4,) f32 [sr, srm1, sqrt(abar_prev), sqrt(max(1-abar_prev,0))]."""
+    b, hh, ww, c = h.shape
+    rows = block_rows
+    while hh % rows:
+        rows //= 2
+    nblk = hh // rows
+
+    ht = jnp.transpose(h, (1, 2, 0, 3))            # (H, W, B, C) bitcast view
+    xt = jnp.transpose(x, (1, 2, 0, 3)).astype(jnp.float32)
+    wt = _tap_major_weights(w_eps).astype(h.dtype)
+    wc = _collapse_matrix(b_eps)
+    coef = coefs.astype(jnp.float32).reshape(1, 4)
+
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, rows=rows, width=ww, height=hh,
+                          batch=b, nblk=nblk),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, ww, b, 3), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 27), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((28, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, ww, b, 3), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hh, ww, b, 3), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 2, ww + 4, b, c), h.dtype),
+            pltpu.VMEM((rows + 2, ww + 4, b, c), h.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(ht, xt, mult.astype(jnp.float32), add.astype(jnp.float32), wt, wc, coef)
+    return jnp.transpose(out, (2, 0, 1, 3))
+
+
+def ddim_tail_step_ref(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
+                       add: jnp.ndarray, w_eps: jnp.ndarray,
+                       b_eps: jnp.ndarray, coefs: jnp.ndarray) -> jnp.ndarray:
+    """Plain-XLA reference/fallback with the kernel's numerics (fp32 affine +
+    SiLU, bf16 GEMM inputs, fp32 accumulation)."""
+    y = h.astype(jnp.float32) * mult[:, None, None, :] + add[:, None, None, :]
+    xn = (y * jax.nn.sigmoid(y)).astype(h.dtype)
+    eps = jax.lax.conv_general_dilated(
+        xn, w_eps.astype(h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b_eps.astype(jnp.float32)
+    sr, srm1, sap, s1map = [coefs[i] for i in range(4)]
+    xs_scaled = sr * x.astype(jnp.float32)
+    px0 = jnp.clip(xs_scaled - srm1 * eps, -1.0, 1.0)
+    eps2 = (xs_scaled - px0) / srm1
+    return sap * px0 + s1map * eps2
+
+
+def tail_route(h_shape, platform: str) -> bool:
+    """Kernel eligibility: TPU, batch a sublane multiple, spatial divisible
+    by 2 (block search), C lane-friendly. The SR stage (8, 256, 256, 192)
+    qualifies; anything else falls back to the XLA reference path."""
+    b, hh, ww, c = h_shape
+    return (platform == "tpu" and b % 8 == 0 and hh % 2 == 0
+            and c % 8 == 0 and ww >= 8)

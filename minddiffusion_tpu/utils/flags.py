@@ -34,9 +34,11 @@ lesson lives in ROADMAP.md "Tried and rejected"):
                        "stats"/"stats_t" (GroupNorm32 module sites only, no
                        conv-prologue folding; _t reads the conv-native
                        transposed layout — variable-isolation A/B modes)
-  MDT_SRGAN_S2D=0      opt out of the space-to-depth blocked SRGAN tail conv
-  MDT_GLIDE_SKIP_JOIN  GLIDE up-path skip-join strategy (default "concat";
-                       "split" / "barrier" are the measured alternatives)
+  MDT_GLIDE_TUNE=...   comma k=v GLIDE cascade tuning: s2d=<0/1> (space-to-
+                       depth blocked SRGAN tail conv, default on),
+                       skip_join=<concat/split/barrier> (up-path skip-join
+                       strategy, default concat), tail=<0/1> (fused Pallas
+                       SR sampler tail, ops/glide_tail)
   MDT_ATTN_BQ=<int>    attention q-block override (rounded to 128s; ignored
                        when it does not divide the site's padded q length)
   MDT_XLA_OPTS         extra XLA compiler options / "off" (utils/xla_opts.py)
@@ -50,7 +52,7 @@ from typing import Optional, Tuple
 _KEYS = (
     "MDT_WINO", "MDT_WINO_TUNE", "MDT_SPLIT_CONCAT", "MDT_MERGE_ALIGNED",
     "MDT_FUSED_UP", "MDT_CFG_DEDUP", "MDT_HOIST", "MDT_GN_STATS",
-    "MDT_SRGAN_S2D", "MDT_GLIDE_SKIP_JOIN", "MDT_ATTN_BQ", "MDT_XLA_OPTS",
+    "MDT_GLIDE_TUNE", "MDT_ATTN_BQ", "MDT_XLA_OPTS",
 )
 
 
@@ -74,6 +76,9 @@ class Flags:
     gn_stats: str = "0"
     srgan_s2d: bool = True
     glide_skip_join: str = "concat"
+    # fused Pallas SR sampler tail (ops/glide_tail) — opt-in until the TPU
+    # A/B lands; flip the default on a measured win like prior promotions
+    glide_tail: bool = False
     attn_bq: Optional[int] = None
     xla_opts: str = ""
 
@@ -106,6 +111,36 @@ def _parse_wino_tune(raw: str) -> dict:
     return out
 
 
+def _parse_glide_tune(raw: str) -> dict:
+    """'s2d=0,skip_join=barrier,tail=1' -> field overrides (same k=v grammar
+    as MDT_WINO_TUNE; malformed entries raise a clear error)."""
+    out: dict = {}
+    for part in raw.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"MDT_GLIDE_TUNE entry {part!r}: expected k=v with k in "
+                "{s2d,skip_join,tail} (e.g. 's2d=0,skip_join=barrier')")
+        k, v = part.split("=", 1)
+        k, v = k.strip(), v.strip()
+        if k == "s2d":
+            out["srgan_s2d"] = v != "0"
+        elif k == "tail":
+            out["glide_tail"] = v != "0"
+        elif k == "skip_join":
+            if v not in ("concat", "split", "barrier"):
+                raise ValueError(
+                    f"MDT_GLIDE_TUNE skip_join={v!r}: expected "
+                    "concat/split/barrier")
+            out["glide_skip_join"] = v
+        else:
+            raise ValueError(
+                f"MDT_GLIDE_TUNE key {k!r}: expected one of s2d/skip_join/tail")
+    return out
+
+
 def _build(env: dict) -> Flags:
     kw: dict = {}
     kw["wino"] = env.get("MDT_WINO", "1") != "0"
@@ -127,8 +162,7 @@ def _build(env: dict) -> Flags:
         raise ValueError(
             f"MDT_GN_STATS={gs!r}: expected 0, all/1, merged, stats, or "
             "stats_t")
-    kw["srgan_s2d"] = env.get("MDT_SRGAN_S2D", "1") != "0"
-    kw["glide_skip_join"] = env.get("MDT_GLIDE_SKIP_JOIN", "concat")
+    kw.update(_parse_glide_tune(env.get("MDT_GLIDE_TUNE", "")))
     bq = env.get("MDT_ATTN_BQ", "")
     kw["attn_bq"] = int(bq) if bq else None
     kw["xla_opts"] = env.get("MDT_XLA_OPTS", "")
