@@ -580,6 +580,7 @@ class UNetModel(nn.Module):
         context: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None,
         cfg_fold=False,
+        return_features=False,
     ) -> jnp.ndarray:
         """cfg_fold (False | True | "interleave"): classifier-free-guidance
         dedup; the string value switches the in-network duplications to the
@@ -699,6 +700,12 @@ class UNetModel(nn.Module):
                         h = Upsample(ch, cfg.dtype, name=f"up_{level}_us")(h)
                     ds //= 2
 
+        if return_features:
+            # pre-tail features for the fused Pallas sampler tail
+            # (ops/glide_tail sd mode): out_norm + SiLU + out_conv + CFG
+            # guide + the DDIM update run in one kernel there. init traces
+            # the full tail below, so the param tree is identical.
+            return h
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
         h = conv3x3(cfg.out_channels, cfg.dtype, zero_init=True, name="out_conv")(h)

@@ -76,15 +76,19 @@ def _dmas(h_any, xs_ref, sems, j, slot, *, rows: int, width: int, height: int):
 
 def _tail_kernel(h_any, x_ref, mult_ref, add_ref, wt_ref, wc_ref, coef_ref,
                  o_ref, xs_ref, xn_ref, sems, *, rows: int, width: int,
-                 height: int, batch: int, nblk: int):
-    """Grid (H/rows,). Shapes (per block):
+                 height: int, batch: int, nblk: int, co: int, mode: str):
+    """Grid (H/rows,). Shapes (per block; bx = B except mode="sd" where the
+    conv batch B is the folded CFG batch and bx = B//2 is the latent batch):
       h_any: (H, W, B, C) bf16 in ANY memory (whole array; manual halo DMA)
-      x_ref: (rows, W, B, 3) f32    current latent block
+      x_ref: (rows, W, bx, co) f32  current latent block
       mult/add: (B, C) f32          GN affine (rstd*gamma / beta - mean*...)
-      wt_ref: (C, 27) bf16          taps-in-N conv weights, lane = 3*tap + o
-      wc_ref: (28, 3) f32           tap-collapse matrix; row 27 = conv bias
-      coef_ref: (1, 4) f32 SMEM     [sr, srm1, sqrt(abar_prev), sqrt(1-abar_prev)]
-      o_ref: (rows, W, B, 3) f32    x_{t-1} block
+      wt_ref: (C, 9*co) bf16        taps-in-N conv weights, lane = co*tap + o
+      wc_ref: (9*co+1, co) f32      tap-collapse matrix; last row = conv bias
+      coef_ref: (1, 4) f32 SMEM     mode="glide": [sr, srm1, sqrt(abar_prev),
+                                    sqrt(1-abar_prev)]; mode="sd":
+                                    [guidance_scale, cA, cB, 0] with
+                                    x_prev = cA*x + cB*eps_guided
+      o_ref: (rows, W, bx, co) f32  x_{t-1} block
       xs_ref: (2, rows+2, W+4, B, C) bf16 scratch (double-buffered halo window)
       xn_ref: (rows+2, W+4, B, C) bf16 scratch (normalized activations)
     """
@@ -134,7 +138,7 @@ def _tail_kernel(h_any, x_ref, mult_ref, add_ref, wt_ref, wc_ref, coef_ref,
     s_in = (rows + 2) * wp * batch
     xn = xn_ref[...].reshape(s_in, xn_ref.shape[-1])
     z = jax.lax.dot_general(xn, wt_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (s_in, 27)
+                            preferred_element_type=jnp.float32)  # (s_in, 9*co)
 
     # Shift-add: out center (j, w) sits at flat sublane ((j+1)*wp + w+2)*B;
     # tap (ky, kx) reads offset ((ky-1)*wp + (kx-1))*B — all multiples of
@@ -142,15 +146,15 @@ def _tail_kernel(h_any, x_ref, mult_ref, add_ref, wt_ref, wc_ref, coef_ref,
     # keeps every tap slice in range (min start = B, max end = s_in - B).
     span_lo = (wp + 2) * batch
     span = ((rows - 1) * wp + width) * batch
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 27), 1) // 3  # tap id
-    acc = jnp.zeros((span, 27), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 9 * co), 1) // co  # tap id
+    acc = jnp.zeros((span, 9 * co), jnp.float32)
     for ky in range(3):
         for kx in range(3):
             off = span_lo + ((ky - 1) * wp + (kx - 1)) * batch
             mask = (lane == (ky * 3 + kx)).astype(jnp.float32)
             acc = acc + z[off:off + span] * mask
 
-    # Collapse the 9 tap groups onto the 3 eps channels (+ bias via the
+    # Collapse the 9 tap groups onto the co output channels (+ bias via the
     # appended ones lane) with one constant matmul.
     ones = jnp.ones((span, 1), jnp.float32)
     eps_span = jax.lax.dot_general(
@@ -160,37 +164,57 @@ def _tail_kernel(h_any, x_ref, mult_ref, add_ref, wt_ref, wc_ref, coef_ref,
     # Drop the pad columns: out row j occupies flat [j*wp*B, +W*B) of the span.
     eps = jnp.concatenate(
         [eps_span[j * wp * batch:j * wp * batch + width * batch]
-         for j in range(rows)], axis=0)            # (rows*W*B, 3)
+         for j in range(rows)], axis=0)            # (rows*W*B, co)
 
-    # DDIM eta=0 step (samplers/ancestral.py ddim_sample_loop; reference
-    # gaussian_diffusion.py:113-142): pred_x0 from eps, clip, re-derive eps,
-    # combine with the abar_prev coefficients.
-    sr = coef_ref[0, 0]
-    srm1 = coef_ref[0, 1]
-    sap = coef_ref[0, 2]
-    s1map = coef_ref[0, 3]
-    xm = x_ref[...].reshape(rows * width * batch, 3)
-    xs_scaled = sr * xm
-    px0 = jnp.clip(xs_scaled - srm1 * eps, -1.0, 1.0)
-    eps2 = (xs_scaled - px0) / srm1
-    o_ref[...] = (sap * px0 + s1map * eps2).reshape(rows, width, batch, 3)
+    if mode == "glide":
+        # DDIM eta=0 step (samplers/ancestral.py ddim_sample_loop; reference
+        # gaussian_diffusion.py:113-142): pred_x0 from eps, clip, re-derive
+        # eps, combine with the abar_prev coefficients.
+        sr = coef_ref[0, 0]
+        srm1 = coef_ref[0, 1]
+        sap = coef_ref[0, 2]
+        s1map = coef_ref[0, 3]
+        xm = x_ref[...].reshape(rows * width * batch, co)
+        xs_scaled = sr * xm
+        px0 = jnp.clip(xs_scaled - srm1 * eps, -1.0, 1.0)
+        eps2 = (xs_scaled - px0) / srm1
+        o_ref[...] = (sap * px0 + s1map * eps2).reshape(
+            rows, width, batch, co)
+    else:
+        # mode == "sd": CFG guide over the [uncond; cond] halves — with the
+        # folded batch riding sublanes, the halves are aligned 8-sublane
+        # slices (the pair-INTERLEAVED mesh layout would need stride-2
+        # slices, which Mosaic forbids — sd_tail_route rejects it) — then
+        # the eta=0 DDIM update, which is linear in (x, eps):
+        # x_prev = sqrt(a_prev/a_t) * x
+        #          + (sqrt(1-a_prev) - sqrt(a_prev*(1-a_t)/a_t)) * eps
+        # (samplers/ddim.py step; reference plms.py get_x_prev family).
+        scale = coef_ref[0, 0]
+        c_x = coef_ref[0, 1]
+        c_eps = coef_ref[0, 2]
+        bx = batch // 2
+        eps4 = eps.reshape(rows, width, batch, co)
+        u = eps4[:, :, 0:bx]
+        g = u + scale * (eps4[:, :, bx:batch] - u)
+        o_ref[...] = c_x * x_ref[...] + c_eps * g
 
 
 def _tap_major_weights(w_eps: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, C, 3) -> (C, 27) with lane index = (3*ky + kx) * 3 + o."""
-    c = w_eps.shape[2]
-    return jnp.transpose(w_eps, (2, 0, 1, 3)).reshape(c, 27)
+    """(3, 3, C, co) -> (C, 9*co) with lane index = (3*ky + kx) * co + o."""
+    _, _, c, co = w_eps.shape
+    return jnp.transpose(w_eps, (2, 0, 1, 3)).reshape(c, 9 * co)
 
 
 def _collapse_matrix(b_eps: jnp.ndarray) -> jnp.ndarray:
-    """(28, 3) fp32: rows 0..26 map lane 3t+o -> channel o, row 27 = bias."""
+    """(9*co+1, co) fp32: rows map lane co*t+o -> channel o, last = bias."""
     import numpy as np
 
-    m = np.zeros((28, 3), np.float32)
+    co = b_eps.shape[0]
+    m = np.zeros((9 * co, co), np.float32)
     for t in range(9):
-        for o in range(3):
-            m[3 * t + o, o] = 1.0
-    return jnp.concatenate([jnp.asarray(m[:27]),
+        for o in range(co):
+            m[co * t + o, o] = 1.0
+    return jnp.concatenate([jnp.asarray(m),
                             b_eps.astype(jnp.float32)[None]], axis=0)
 
 
@@ -202,7 +226,31 @@ def ddim_tail_step(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
     """x_{t-1} from pre-tail features. h: (B,H,W,C) bf16; x: (B,H,W,3) f32;
     mult/add: (B,C) f32 GN affine; w_eps: (3,3,C,3); b_eps: (3,);
     coefs: (4,) f32 [sr, srm1, sqrt(abar_prev), sqrt(max(1-abar_prev,0))]."""
+    return _tail_call(h, x, mult, add, w_eps, b_eps, coefs,
+                      block_rows=block_rows, mode="glide",
+                      interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def sd_cfg_tail_step(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
+                     add: jnp.ndarray, w_eps: jnp.ndarray, b_eps: jnp.ndarray,
+                     coefs: jnp.ndarray, block_rows: int = 8,
+                     interpret: bool = False) -> jnp.ndarray:
+    """SD tail + CFG guide + DDIM(eta=0) update in one pass.
+
+    h: (2B, H, W, C) bf16 pre-out_norm features of the CFG-FOLDED batch
+    ([uncond; cond] halves); x: (B, H, W, co) f32 latent;
+    w_eps: (3, 3, C, co); coefs: (4,) f32 [guidance_scale, cA, cB, 0] with
+    x_prev = cA*x + cB*(u + scale*(c - u)). Returns (B, H, W, co) f32."""
+    return _tail_call(h, x, mult, add, w_eps, b_eps, coefs,
+                      block_rows=block_rows, mode="sd", interpret=interpret)
+
+
+def _tail_call(h, x, mult, add, w_eps, b_eps, coefs, *, block_rows: int,
+               mode: str, interpret: bool) -> jnp.ndarray:
     b, hh, ww, c = h.shape
+    co = w_eps.shape[-1]
+    bx = b // 2 if mode == "sd" else b
     rows = block_rows
     while hh % rows:
         rows //= 2
@@ -216,21 +264,23 @@ def ddim_tail_step(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_tail_kernel, rows=rows, width=ww, height=hh,
-                          batch=b, nblk=nblk),
+                          batch=b, nblk=nblk, co=co, mode=mode),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((rows, ww, b, 3), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((rows, ww, bx, co), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 27), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((28, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 9 * co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * co + 1, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((rows, ww, b, 3), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((rows, ww, bx, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hh, ww, b, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hh, ww, bx, co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, rows + 2, ww + 4, b, c), h.dtype),
             pltpu.VMEM((rows + 2, ww + 4, b, c), h.dtype),
@@ -262,6 +312,24 @@ def ddim_tail_step_ref(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
     return sap * px0 + s1map * eps2
 
 
+def sd_cfg_tail_step_ref(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
+                         add: jnp.ndarray, w_eps: jnp.ndarray,
+                         b_eps: jnp.ndarray, coefs: jnp.ndarray) -> jnp.ndarray:
+    """Plain-XLA reference/fallback for the sd mode (CFG halves + linear
+    eta=0 DDIM update), kernel numerics."""
+    y = h.astype(jnp.float32) * mult[:, None, None, :] + add[:, None, None, :]
+    xn = (y * jax.nn.sigmoid(y)).astype(h.dtype)
+    eps = jax.lax.conv_general_dilated(
+        xn, w_eps.astype(h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b_eps.astype(jnp.float32)
+    bx = h.shape[0] // 2
+    scale, c_x, c_eps = coefs[0], coefs[1], coefs[2]
+    u, cnd = eps[:bx], eps[bx:]
+    g = u + scale * (cnd - u)
+    return c_x * x.astype(jnp.float32) + c_eps * g
+
+
 def tail_route(h_shape, platform: str) -> bool:
     """Kernel eligibility: TPU, batch a sublane multiple, spatial divisible
     by 2 (block search), C lane-friendly. The SR stage (8, 256, 256, 192)
@@ -269,3 +337,9 @@ def tail_route(h_shape, platform: str) -> bool:
     b, hh, ww, c = h_shape
     return (platform == "tpu" and b % 8 == 0 and hh % 2 == 0
             and c % 8 == 0 and ww >= 8)
+
+
+def sd_tail_route(h_shape, platform: str) -> bool:
+    """sd mode additionally needs the latent half-batch sublane-tiled (the
+    guide slices halves on the sublane dim) — i.e. folded batch % 16 == 0."""
+    return tail_route(h_shape, platform) and h_shape[0] % 16 == 0

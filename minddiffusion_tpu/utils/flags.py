@@ -39,6 +39,9 @@ lesson lives in ROADMAP.md "Tried and rejected"):
                        skip_join=<concat/split/barrier> (up-path skip-join
                        strategy, default concat), tail=<0/1> (fused Pallas
                        SR sampler tail, ops/glide_tail)
+  MDT_SD_TAIL=1        fused Pallas SD DDIM sampler tail (out_norm + SiLU +
+                       out_conv + CFG guide + eta=0 update in one kernel;
+                       ddim txt2img, halves CFG layout only)
   MDT_ATTN_BQ=<int>    attention q-block override (rounded to 128s; ignored
                        when it does not divide the site's padded q length)
   MDT_XLA_OPTS         extra XLA compiler options / "off" (utils/xla_opts.py)
@@ -52,7 +55,7 @@ from typing import Optional, Tuple
 _KEYS = (
     "MDT_WINO", "MDT_WINO_TUNE", "MDT_SPLIT_CONCAT", "MDT_MERGE_ALIGNED",
     "MDT_FUSED_UP", "MDT_CFG_DEDUP", "MDT_HOIST", "MDT_GN_STATS",
-    "MDT_GLIDE_TUNE", "MDT_ATTN_BQ", "MDT_XLA_OPTS",
+    "MDT_GLIDE_TUNE", "MDT_SD_TAIL", "MDT_ATTN_BQ", "MDT_XLA_OPTS",
 )
 
 
@@ -76,9 +79,11 @@ class Flags:
     gn_stats: str = "0"
     srgan_s2d: bool = True
     glide_skip_join: str = "concat"
-    # fused Pallas SR sampler tail (ops/glide_tail) — opt-in until the TPU
-    # A/B lands; flip the default on a measured win like prior promotions
+    # fused Pallas sampler tails (ops/glide_tail, GLIDE SR + SD DDIM
+    # variants) — opt-in until the TPU A/Bs land; flip the defaults on a
+    # measured win like prior promotions
     glide_tail: bool = False
+    sd_tail: bool = False
     attn_bq: Optional[int] = None
     xla_opts: str = ""
 
@@ -163,6 +168,7 @@ def _build(env: dict) -> Flags:
             f"MDT_GN_STATS={gs!r}: expected 0, all/1, merged, stats, or "
             "stats_t")
     kw.update(_parse_glide_tune(env.get("MDT_GLIDE_TUNE", "")))
+    kw["sd_tail"] = env.get("MDT_SD_TAIL", "0") == "1"
     bq = env.get("MDT_ATTN_BQ", "")
     kw["attn_bq"] = int(bq) if bq else None
     kw["xla_opts"] = env.get("MDT_XLA_OPTS", "")

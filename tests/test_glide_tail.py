@@ -126,3 +126,50 @@ def test_cascade_runs_with_fused_tail(monkeypatch):
     diff = (outs["1"]["super_res"].astype(np.int32)
             - outs["0"]["super_res"].astype(np.int32))
     assert np.abs(diff).max() <= 2, np.abs(diff).max()
+
+
+def test_sd_txt2img_fused_tail_matches(monkeypatch):
+    """SD2 fused DDIM tail (MDT_SD_TAIL=1): uint8 txt2img output matches the
+    standard path within quantization slack on a tiny fp32 model (the fused
+    path only reassociates GN stats and keeps eps fp32)."""
+    from test_pipelines import tiny_models, tokens
+    from minddiffusion_tpu.pipelines.stable_diffusion import StableDiffusionPipeline
+
+    models = tiny_models()
+    params = models.init_params(jax.random.PRNGKey(0), height=64, width=64,
+                                context_length=8)
+    pipe = StableDiffusionPipeline(models)
+    outs = {}
+    for v in ("0", "1"):
+        monkeypatch.setenv("MDT_SD_TAIL", v)
+        fn = pipe.build_txt2img(height=64, width=64, num_steps=4,
+                                sampler="ddim", guidance_scale=7.5,
+                                batch_size=2)
+        outs[v] = np.asarray(fn(params, tokens(2, 3), tokens(2, 0),
+                                jax.random.PRNGKey(1)))
+    assert outs["1"].shape == outs["0"].shape
+    diff = outs["1"].astype(np.int32) - outs["0"].astype(np.int32)
+    assert np.abs(diff).max() <= 2, np.abs(diff).max()
+
+
+def test_sd_fused_tail_with_cfg_dedup_off(monkeypatch):
+    """The fused features path must also be correct WITHOUT cfg dedup (the
+    wrapper then duplicates x itself)."""
+    from test_pipelines import tiny_models, tokens
+    from minddiffusion_tpu.pipelines.stable_diffusion import StableDiffusionPipeline
+
+    models = tiny_models()
+    params = models.init_params(jax.random.PRNGKey(0), height=64, width=64,
+                                context_length=8)
+    pipe = StableDiffusionPipeline(models)
+    outs = {}
+    monkeypatch.setenv("MDT_CFG_DEDUP", "0")
+    for v in ("0", "1"):
+        monkeypatch.setenv("MDT_SD_TAIL", v)
+        fn = pipe.build_txt2img(height=64, width=64, num_steps=3,
+                                sampler="ddim", guidance_scale=5.0,
+                                batch_size=2)
+        outs[v] = np.asarray(fn(params, tokens(2, 3), tokens(2, 0),
+                                jax.random.PRNGKey(2)))
+    diff = outs["1"].astype(np.int32) - outs["0"].astype(np.int32)
+    assert np.abs(diff).max() <= 2, np.abs(diff).max()
