@@ -51,35 +51,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dmas(h_any, xs_ref, sems, j, slot, *, rows: int, width: int, height: int):
-    """Three fixed-shape async copies filling scratch slot `slot` with block
-    j's (rows+2)-row halo window: main body, top halo row, bottom halo row.
-    At the image edges the halo source row is CLAMPED (reads a duplicate
-    in-range row) — the kernel zeroes those scratch rows afterwards, so the
-    duplicate content never enters the math; clamping only keeps the DMA
-    in bounds with a static shape (uniform across blocks = double-bufferable)."""
-    r0 = j * rows
-    main = pltpu.make_async_copy(
-        h_any.at[pl.ds(r0, rows)],
-        xs_ref.at[slot, pl.ds(1, rows), pl.ds(2, width)],
-        sems.at[slot, 0])
-    top = pltpu.make_async_copy(
-        h_any.at[pl.ds(jnp.maximum(r0 - 1, 0), 1)],
-        xs_ref.at[slot, pl.ds(0, 1), pl.ds(2, width)],
-        sems.at[slot, 1])
-    bot = pltpu.make_async_copy(
-        h_any.at[pl.ds(jnp.minimum(r0 + rows, height - 1), 1)],
-        xs_ref.at[slot, pl.ds(rows + 1, 1), pl.ds(2, width)],
-        sems.at[slot, 2])
-    return main, top, bot
-
-
-def _tail_kernel(h_any, x_ref, mult_ref, add_ref, wt_ref, wc_ref, coef_ref,
-                 o_ref, xs_ref, xn_ref, sems, *, rows: int, width: int,
-                 height: int, batch: int, nblk: int, co: int, mode: str):
+def _tail_kernel(hp_ref, hc_ref, hn_ref, x_ref, mult_ref, add_ref, wt_ref,
+                 wc_ref, coef_ref, o_ref, xs_ref, *, rows: int, width: int,
+                 batch: int, nblk: int, co: int, mode: str):
     """Grid (H/rows,). Shapes (per block; bx = B except mode="sd" where the
     conv batch B is the folded CFG batch and bx = B//2 is the latent batch):
-      h_any: (H, W, B, C) bf16 in ANY memory (whole array; manual halo DMA)
+      hp/hc/hn_ref: three pipelined views of the SAME (H, W, B, C) bf16
+          features — the row above the strip (1 row, clamped at the top
+          edge), the strip itself (rows), and the row below (clamped) —
+          assembled into the 3x3 conv's halo window in VMEM. Manual
+          halo DMA from ANY memory is impossible here: slicing an HBM
+          memref needs 128-aligned lane extents, and C=192 is not — but
+          plain BlockSpec operands whose lane block equals the full array
+          dim are exempt (same exemption ops/gn_stats relies on).
       x_ref: (rows, W, bx, co) f32  current latent block
       mult/add: (B, C) f32          GN affine (rstd*gamma / beta - mean*...)
       wt_ref: (C, 9*co) bf16        taps-in-N conv weights, lane = co*tap + o
@@ -89,54 +73,38 @@ def _tail_kernel(h_any, x_ref, mult_ref, add_ref, wt_ref, wc_ref, coef_ref,
                                     [guidance_scale, cA, cB, 0] with
                                     x_prev = cA*x + cB*eps_guided
       o_ref: (rows, W, bx, co) f32  x_{t-1} block
-      xs_ref: (2, rows+2, W+4, B, C) bf16 scratch (double-buffered halo window)
-      xn_ref: (rows+2, W+4, B, C) bf16 scratch (normalized activations)
+      xs_ref: (rows+2, W+4, B, C) bf16 scratch (normalized, col-padded window)
     """
     i = pl.program_id(0)
-    slot = jax.lax.rem(i, 2)
     wp = width + 4
 
-    @pl.when(i == 0)
-    def _():
-        for c in _dmas(h_any, xs_ref, sems, i, slot,
-                       rows=rows, width=width, height=height):
-            c.start()
-
-    @pl.when(i + 1 < nblk)
-    def _():
-        for c in _dmas(h_any, xs_ref, sems, i + 1, 1 - slot,
-                       rows=rows, width=width, height=height):
-            c.start()
-
-    for c in _dmas(h_any, xs_ref, sems, i, slot,
-                   rows=rows, width=width, height=height):
-        c.wait()
-
-    # GN affine + SiLU in fp32, store bf16 (the GEMM input dtype).
-    q = xs_ref[slot].astype(jnp.float32)          # (rows+2, W+4, B, C)
-    y = q * mult_ref[...] + add_ref[...]
-    xn_ref[...] = (y * jax.nn.sigmoid(y)).astype(xn_ref.dtype)
+    # GN affine + SiLU in fp32, store bf16 (the GEMM input dtype) into the
+    # col-padded window scratch.
+    q = jnp.concatenate([hp_ref[...], hc_ref[...], hn_ref[...]], axis=0)
+    y = q.astype(jnp.float32) * mult_ref[...] + add_ref[...]
+    xs_ref[:, 2:width + 2] = (y * jax.nn.sigmoid(y)).astype(xs_ref.dtype)
     # SAME-pad semantics: the two pad columns each side and any out-of-image
     # halo row must contribute exactly 0 (the affine of a zero/garbage entry
-    # is silu(add) != 0, so zero AFTER the affine).
-    zero_col = jnp.zeros((rows + 2, 2, batch, xn_ref.shape[-1]), xn_ref.dtype)
-    xn_ref[:, 0:2] = zero_col
-    xn_ref[:, wp - 2:wp] = zero_col
+    # is silu(add) != 0, and the clamped edge views duplicate an in-range
+    # row — so zero AFTER the affine).
+    zero_col = jnp.zeros((rows + 2, 2, batch, xs_ref.shape[-1]), xs_ref.dtype)
+    xs_ref[:, 0:2] = zero_col
+    xs_ref[:, wp - 2:wp] = zero_col
 
-    zero_row = jnp.zeros((1, wp, batch, xn_ref.shape[-1]), xn_ref.dtype)
+    zero_row = jnp.zeros((1, wp, batch, xs_ref.shape[-1]), xs_ref.dtype)
 
     @pl.when(i == 0)
     def _():
-        xn_ref[0:1] = zero_row
+        xs_ref[0:1] = zero_row
 
     @pl.when(i == nblk - 1)
     def _():
-        xn_ref[rows + 1:rows + 2] = zero_row
+        xs_ref[rows + 1:rows + 2] = zero_row
 
     # Taps-in-N GEMM over the whole halo window (batch rides sublanes, so
     # the merge below only regroups untiled leading dims — layout-free).
     s_in = (rows + 2) * wp * batch
-    xn = xn_ref[...].reshape(s_in, xn_ref.shape[-1])
+    xn = xs_ref[...].reshape(s_in, xs_ref.shape[-1])
     z = jax.lax.dot_general(xn, wt_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (s_in, 9*co)
 
@@ -262,12 +230,24 @@ def _tail_call(h, x, mult, add, w_eps, b_eps, coefs, *, block_rows: int,
     wc = _collapse_matrix(b_eps)
     coef = coefs.astype(jnp.float32).reshape(1, 4)
 
+    # Halo rows come in as two extra 1-row pipelined views of the SAME array
+    # with CLAMPED index maps (units of their own block shape, so the 1-row
+    # specs index absolute rows) — the kernel zeroes the clamped duplicates
+    # at the image edges.
     out = pl.pallas_call(
-        functools.partial(_tail_kernel, rows=rows, width=ww, height=hh,
+        functools.partial(_tail_kernel, rows=rows, width=ww,
                           batch=b, nblk=nblk, co=co, mode=mode),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, ww, b, c),
+                         lambda i: (jnp.maximum(i * rows - 1, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, ww, b, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ww, b, c),
+                         lambda i: (jnp.minimum(i * rows + rows, hh - 1),
+                                    0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, ww, bx, co), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -282,15 +262,14 @@ def _tail_call(h, x, mult, add, w_eps, b_eps, coefs, *, block_rows: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hh, ww, bx, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, rows + 2, ww + 4, b, c), h.dtype),
             pltpu.VMEM((rows + 2, ww + 4, b, c), h.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(ht, xt, mult.astype(jnp.float32), add.astype(jnp.float32), wt, wc, coef)
+    )(ht, ht, ht, xt, mult.astype(jnp.float32), add.astype(jnp.float32),
+      wt, wc, coef)
     return jnp.transpose(out, (2, 0, 1, 3))
 
 
