@@ -266,6 +266,9 @@ def _tail_call(h, x, mult, add, w_eps, b_eps, coefs, *, block_rows: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the window scratch + fp32 z/acc temporaries exceed XLA's 16M
+            # default scoped-vmem stack (same as winograd/flash-attention)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(ht, ht, ht, xt, mult.astype(jnp.float32), add.astype(jnp.float32),
