@@ -214,6 +214,32 @@ def sd_cfg_tail_step(h: jnp.ndarray, x: jnp.ndarray, mult: jnp.ndarray,
                       block_rows=block_rows, mode="sd", interpret=interpret)
 
 
+def _stack_bytes(rows: int, ww: int, b: int, c: int, co: int,
+                 itemsize: int) -> int:
+    """Coarse per-grid-step VMEM stack estimate (kernel temporaries + block
+    operands, lane dims padded to 128). Tracks Mosaic's accounting only to
+    first order — at (rows=8, 256, 8, 192, 3) Mosaic measured 102.7M vs
+    ~115M here — so the budget below carries the slack."""
+    wp = ww + 4
+    win = (rows + 2) * wp * b                    # halo-window sublanes
+    span = ((rows - 1) * wp + ww) * b            # shift-add span sublanes
+    lane = max(9 * co + 1, 128)
+    est = (rows + 2) * ww * b * c * 4            # fp32 affine+SiLU intermediate
+    est += win * c * itemsize                    # xs window scratch
+    est += win * lane * 4                        # z (taps-in-N GEMM out)
+    est += 5 * span * lane * 4                   # acc/slice/mask + concat/eps
+    est += 2 * rows * ww * b * c * itemsize      # double-buffered hc block
+    est += 4 * ww * b * c * itemsize             # hp/hn halo blocks (x2 buf)
+    est += 3 * rows * ww * b * max(co, 128) * 4  # x block (x2 buf) + out
+    return est
+
+
+# vmem_limit_bytes below minus headroom for Mosaic accounting drift (the
+# estimator overshoots the one measured point by ~12%, so 80M here keeps the
+# true stack comfortably under the 100M limit).
+_STACK_BUDGET = 80 * 1024 * 1024
+
+
 def _tail_call(h, x, mult, add, w_eps, b_eps, coefs, *, block_rows: int,
                mode: str, interpret: bool) -> jnp.ndarray:
     b, hh, ww, c = h.shape
@@ -221,6 +247,12 @@ def _tail_call(h, x, mult, add, w_eps, b_eps, coefs, *, block_rows: int,
     bx = b // 2 if mode == "sd" else b
     rows = block_rows
     while hh % rows:
+        rows //= 2
+    # shrink the strip until the kernel's VMEM stack fits: the SR-stage
+    # (256, 256, 8, 192) shape at rows=8 measured 102.7M vs the 100M scoped
+    # limit (compile-time OOM); rows=4 fits with wide margin.
+    while rows > 1 and _stack_bytes(
+            rows, ww, b, c, co, jnp.dtype(h.dtype).itemsize) > _STACK_BUDGET:
         rows //= 2
     nblk = hh // rows
 
