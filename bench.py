@@ -116,12 +116,26 @@ def main() -> None:
                 f"({BATCH/times[-1]:.3f} img/s)")
         log(f"[{sampler}-{steps}] p50 per-image latency: "
             f"{sorted(times)[len(times)//2]/BATCH*1000:.1f} ms")
-        return BATCH / min(times)
 
-    ddim = measure("ddim", STEPS)
+        # steady-state serving throughput: enqueue 4 batches back-to-back
+        # (JAX dispatch is async) and block once — hides the per-launch host
+        # dispatch gap (~25 ms over the axon relay) that the blocking
+        # protocol above pays per batch. Reported as a side field; the
+        # headline stays the blocking protocol for round-over-round
+        # comparability (measured r4i: 1.9530 pipelined vs 1.9426 blocking).
+        t0 = time.time()
+        outs = [fn(params, tokens, uncond, jax.random.PRNGKey(10 + i))
+                for i in range(4)]
+        jax.block_until_ready(outs)
+        ss = BATCH * 4 / (time.time() - t0)
+        log(f"[{sampler}-{steps}] steady-state (4 batches in flight): "
+            f"{ss:.3f} img/s")
+        return BATCH / min(times), ss
+
+    ddim, ddim_ss = measure("ddim", STEPS)
     # the reference SD2 default sampler is PLMS-50 (txt2img.py:143) — record
     # it alongside the DDIM headline (BASELINE.json's metric is DDIM-50)
-    plms = measure("plms", STEPS)
+    plms, _ = measure("plms", STEPS)
     log(f"total bench wall: {time.time()-t_start:.1f}s")
 
     print(json.dumps({
@@ -130,6 +144,7 @@ def main() -> None:
         "unit": "img/s/chip",
         "vs_baseline": round(ddim / 2.0, 4),
         "plms50_img_per_s_per_chip": round(plms, 4),
+        "steady_state_img_per_s_per_chip": round(ddim_ss, 4),
     }))
 
 
