@@ -25,10 +25,16 @@ onto it. This engine provides that:
     read (overload sheds dead work instead of congestion-collapsing).
 
 Adapters (SDAdapter / GlideAdapter) carry the per-family logic:
-`prepare(prompt, negative_prompt, seed) -> payload` and
-`run(payloads) -> (batch_size, H, W, 3) uint8`. Throughput equals the bench
-number for the same program; the engine only adds queueing. See cli/serve.py
-for the HTTP front end.
+`prepare(prompt, negative_prompt, seed) -> payload` plus either
+`run(payloads) -> (batch_size, H, W, 3) uint8` (simple, blocking) or the
+split `dispatch(payloads) -> handle` / `fetch(handle) -> uint8` pair. With
+the split form the worker keeps ONE batch in flight: it dispatches batch
+N+1 (JAX dispatch is async) BEFORE fetching batch N, so the device never
+idles through the host-side stack/dispatch/transfer gap between batches —
+measured ~22 ms/batch on the 512² SD2 program over the axon relay
+(ROADMAP r4i: 1.9530 img/s steady-state vs 1.9426 blocking). Throughput at
+saturation therefore slightly EXCEEDS the blocking bench protocol; the
+engine still adds no math. See cli/serve.py for the HTTP front end.
 """
 from __future__ import annotations
 
@@ -90,12 +96,19 @@ class SDAdapter:
             "noise": noise,
         }
 
-    def run(self, payloads: list) -> np.ndarray:
+    def dispatch(self, payloads: list):
+        """Enqueue the batch on the device (async); returns the device array."""
         tokens = np.stack([p["tokens"] for p in payloads])
         uncond = np.stack([p["uncond"] for p in payloads])
         noise = np.stack([p["noise"] for p in payloads])
-        return np.asarray(self._fn(self._params, tokens, uncond,
-                                   self._fixed_key, noise))
+        return self._fn(self._params, tokens, uncond, self._fixed_key, noise)
+
+    def fetch(self, handle) -> np.ndarray:
+        """Block on the device result and transfer it to host."""
+        return np.asarray(handle)
+
+    def run(self, payloads: list) -> np.ndarray:
+        return self.fetch(self.dispatch(payloads))
 
 
 class GlideAdapter:
@@ -129,12 +142,17 @@ class GlideAdapter:
             "seed": np.int32(seed),
         }
 
-    def run(self, payloads: list) -> np.ndarray:
+    def dispatch(self, payloads: list):
         tokens = np.stack([p["tokens"] for p in payloads])
         mask = np.stack([p["mask"] for p in payloads])
         seeds = np.asarray([p["seed"] for p in payloads], np.int32)
-        out = self._fn(self._params, tokens, mask, self._fixed_key, seeds)
-        return np.asarray(out[self._stage])
+        return self._fn(self._params, tokens, mask, self._fixed_key, seeds)
+
+    def fetch(self, handle) -> np.ndarray:
+        return np.asarray(handle[self._stage])
+
+    def run(self, payloads: list) -> np.ndarray:
+        return self.fetch(self.dispatch(payloads))
 
 
 class BatchingEngine:
@@ -237,25 +255,62 @@ class BatchingEngine:
                 deadline = time.monotonic() + self._max_wait
         return batch
 
+    def _fail(self, batch: list, e: BaseException) -> None:
+        for r in batch:
+            r.error = e
+            self._finish(r)
+
+    def _deliver(self, batch: list, imgs: np.ndarray) -> None:
+        for i, r in enumerate(batch):
+            r.image = imgs[i]
+            self._finish(r)
+        self.batches_run += 1
+        self.requests_served += len(batch)
+
     def _run(self) -> None:
+        # Split-adapter (dispatch/fetch) path keeps ONE batch in flight:
+        # dispatch batch N+1 before fetching batch N, so the device works
+        # through the host-side stack/dispatch/transfer gap (~22 ms/batch
+        # measured, ROADMAP r4i). Plain run() adapters take the blocking
+        # path unchanged.
+        pipelined = (hasattr(self._adapter, "dispatch")
+                     and hasattr(self._adapter, "fetch"))
+        pending: Optional[tuple] = None  # (batch, in-flight device handle)
         while not self._stop.is_set():
             batch = self._collect()
-            if not batch:
-                continue
-            n = len(batch)
-            rows = [r.payload for r in batch]
-            rows += [rows[-1]] * (self._batch - n)  # repeat-pad to static batch
+            handle = None
+            if batch:
+                rows = [r.payload for r in batch]
+                rows += [rows[-1]] * (self._batch - len(batch))  # repeat-pad
+                if pipelined:
+                    try:
+                        handle = self._adapter.dispatch(rows)
+                    except BaseException as e:  # noqa: BLE001 — fail callers
+                        self._fail(batch, e)
+                        batch = []
+                else:
+                    try:
+                        self._deliver(batch, self._adapter.run(rows))
+                    except BaseException as e:  # noqa: BLE001 — fail callers
+                        self._fail(batch, e)
+                    batch = []
+            if pending is not None:
+                pbatch, phandle = pending
+                pending = None
+                try:
+                    self._deliver(pbatch, self._adapter.fetch(phandle))
+                except BaseException as e:  # noqa: BLE001 — device faults
+                    # surface at the blocking fetch; they belong to THIS
+                    # batch, never the one dispatched above
+                    self._fail(pbatch, e)
+            if batch:
+                pending = (batch, handle)
+        if pending is not None:  # drain the in-flight batch on stop()
+            pbatch, phandle = pending
             try:
-                imgs = self._adapter.run(rows)
-                for i, r in enumerate(batch):
-                    r.image = imgs[i]
-                    self._finish(r)
-                self.batches_run += 1
-                self.requests_served += n
-            except BaseException as e:  # noqa: BLE001 — fail the waiting callers
-                for r in batch:
-                    r.error = e
-                    self._finish(r)
+                self._deliver(pbatch, self._adapter.fetch(phandle))
+            except BaseException as e:  # noqa: BLE001
+                self._fail(pbatch, e)
 
     def _finish(self, req: Request) -> None:
         """Set done under the abandonment lock: a caller that raced its

@@ -253,6 +253,82 @@ def test_worker_fault_is_batch_execution_error():
         eng.stop()
 
 
+def test_pipelined_dispatch_overlaps_fetch():
+    """Split dispatch/fetch adapters must run double-buffered: the worker
+    dispatches batch N+1 BEFORE fetching batch N (the r4i ~22 ms/batch
+    dispatch-gap recovery), and every request still gets its own result."""
+    calls = []
+
+    class SplitAdapter:
+        def prepare(self, prompt, negative_prompt, seed):
+            return {"seed": seed}
+
+        def dispatch(self, payloads):
+            calls.append("dispatch")
+            return [p["seed"] for p in payloads]
+
+        def fetch(self, handle):
+            calls.append("fetch")
+            return np.full((len(handle), 2, 2, 3), handle[0], np.uint8)
+
+    eng = BatchingEngine(SplitAdapter(), batch_size=1, max_wait_ms=1.0)
+    results = {}
+    threads = [threading.Thread(
+        target=lambda s=s: results.update({s: eng.submit("p", seed=s,
+                                                         timeout=30)}))
+               for s in (3, 5)]
+    for t in threads:
+        t.start()
+    import time as _time
+    _time.sleep(0.2)   # both requests queued before the worker starts
+    eng.start()
+    for t in threads:
+        t.join()
+    eng.stop()
+    # two size-1 batches: the second dispatch precedes the first fetch
+    assert calls[:3] == ["dispatch", "dispatch", "fetch"], calls
+    assert results[3][0, 0, 0] == 3 and results[5][0, 0, 0] == 5
+
+
+def test_pipelined_fetch_error_attributed_to_its_own_batch():
+    """A device fault surfaces at the blocking fetch — it must fail the
+    batch that was fetched, never the one dispatched just before it."""
+    from minddiffusion_tpu.serving.engine import BatchExecutionError
+
+    class FlakyAdapter:
+        def prepare(self, prompt, negative_prompt, seed):
+            return {"seed": seed}
+
+        def dispatch(self, payloads):
+            return [p["seed"] for p in payloads]
+
+        def fetch(self, handle):
+            if handle[0] == 13:
+                raise RuntimeError("device fault")
+            return np.full((len(handle), 2, 2, 3), handle[0], np.uint8)
+
+    eng = BatchingEngine(FlakyAdapter(), batch_size=1, max_wait_ms=1.0)
+    results, errors = {}, {}
+
+    def worker(s):
+        try:
+            results[s] = eng.submit("p", seed=s, timeout=30)
+        except BatchExecutionError as e:
+            errors[s] = e
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in (13, 7)]
+    for t in threads:
+        t.start()
+    import time as _time
+    _time.sleep(0.2)
+    eng.start()
+    for t in threads:
+        t.join()
+    eng.stop()
+    assert 13 in errors and 13 not in results
+    assert results[7][0, 0, 0] == 7 and 7 not in errors
+
+
 def test_queue_depth_excludes_abandoned():
     """Timed-out requests still sitting in the queue are dead work — the
     /healthz backlog must not count them."""
