@@ -5,6 +5,10 @@ The reference's only numeric perf table is train-side (wukong README.md:217-220
 our equivalent: steps/s and train-img/s for
   * lora: q/k/v/out LoRA adapters trainable (reference run_train.py:171-174)
   * full: whole UNet trainable (frozen VAE/CLIP, as the reference finetune)
+  * dreambooth: the wukong DreamBooth double-loss step (train + prior-reg,
+    b1, sd1-family UNet — reference run_db_train.py + train_db_config.json:
+    b1, 100 repeats, 5 epochs), printing the implied wall-clock for the
+    reference's 25-35 min / 3-5 photo personalization claim (README.md:90)
 
 Latent-cached batches (the loader can pre-encode; VAE encode is not the
 number under test) + tokenized text. Usage:
@@ -88,9 +92,12 @@ def main():
     if mode == "fsdp_mem":
         fsdp_mem_report()
         return
-    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else (8 if mode == "lora" else 2)
+    dreambooth = mode == "dreambooth"
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        8 if mode == "lora" else 1 if dreambooth else 2)
 
-    models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
+    models = SDModels.create(family=("wukong" if dreambooth else "sd2"),
+                             dtype=jnp.bfloat16,
                              enable_lora=(mode == "lora"),
                              attn_impl="pallas")
     params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
@@ -105,12 +112,17 @@ def main():
           f" + opt state {_tree_bytes(state.opt_state)/gib:.2f} GiB HBM",
           file=sys.stderr)
 
-    step = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
+    step = jax.jit(make_train_step(models, cfg, dreambooth=dreambooth),
+                   donate_argnums=(0,))
     batch = {
         "latent": jnp.asarray(
             np.random.RandomState(0).randn(batch_size, 64, 64, 4), jnp.float32),
         "tokens": jnp.ones((batch_size, 77), jnp.int32),
     }
+    if dreambooth:
+        batch["reg_latent"] = jnp.asarray(
+            np.random.RandomState(1).randn(batch_size, 64, 64, 4), jnp.float32)
+        batch["reg_tokens"] = jnp.ones((batch_size, 77), jnp.int32)
     rng = jax.random.PRNGKey(1)
 
     t0 = time.time()
@@ -130,6 +142,14 @@ def main():
     print(f"[{mode} b{batch_size}] {best*1000:.1f} ms/step  "
           f"{batch_size/best:.2f} train-img/s  "
           f"(runs {[f'{t:.3f}' for t in times]})")
+    if dreambooth:
+        # reference recipe (train_db_config.json): photos x 100 repeats x
+        # 5 epochs at b1 => 1500-2500 double-loss steps for 3-5 photos
+        for photos in (3, 5):
+            steps = photos * 100 * 5
+            print(f"[dreambooth] {photos} photos -> {steps} steps "
+                  f"-> {steps*best/60:.1f} min on one v5e "
+                  f"(reference claim: 25-35 min, wukong README.md:90)")
 
 
 if __name__ == "__main__":
