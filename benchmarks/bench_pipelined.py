@@ -66,13 +66,18 @@ def main():
     results["blocking_img_per_s"] = round(batch / min(times), 4)
     log(f"blocking: {min(times):.4f} s/batch ({batch/min(times):.4f} img/s)")
 
-    # pipelined: enqueue npipe batches, block once (steady-state throughput)
-    for _ in range(2):
+    # pipelined: enqueue npipe batches, block once (steady-state throughput);
+    # min over 3 passes, matching the repo's min-of-runs protocol above
+    dts = []
+    for j in range(3):
         t0 = time.time()
-        outs = [fn(params, tokens, uncond, jax.random.PRNGKey(10 + i))
+        outs = [fn(params, tokens, uncond,
+                   jax.random.PRNGKey(10 + j * npipe + i))
                 for i in range(npipe)]
         jax.block_until_ready(outs)
-        dt = (time.time() - t0) / npipe
+        dts.append((time.time() - t0) / npipe)
+        log(f"pipelined x{npipe} pass {j}: {dts[-1]:.4f} s/batch")
+    dt = min(dts)
     results["pipelined_s_per_batch"] = round(dt, 4)
     results["pipelined_img_per_s"] = round(batch / dt, 4)
     log(f"pipelined x{npipe}: {dt:.4f} s/batch ({batch/dt:.4f} img/s)")

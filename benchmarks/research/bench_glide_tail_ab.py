@@ -1,11 +1,18 @@
-"""Same-session A/B of the fused Pallas GLIDE SR sampler tail (r4h kernel).
+"""STATUS: HISTORICAL — the A/B this ran is closed (r4i: tail=1 1.9931 vs
+2.0064 baseline, LOSS −26.5 ms/cascade; see research/glide_tail.py). The
+MDT_GLIDE_TUNE=tail flag and the pipeline's fused-tail branch were removed
+with the r5 retirement, so the tail=1 leg of this script NO LONGER ENGAGES
+the kernel — re-running it requires restoring the glide_cascade hook from
+git history (commit 352d14a). Kept as the measurement record.
+
+Same-session A/B of the fused Pallas GLIDE SR sampler tail (r4h kernel).
 
 One chip claim, two programs: the shipped cascade (direct out_conv inside
 the SR DDIM loop) vs MDT_GLIDE_TUNE=tail=1 (GN + SiLU + taps-in-N out_conv
 + DDIM step math fused in ops/glide_tail — zero tiny-channel
 materializations). Prints ONE JSON line with both fused-cascade times.
 
-    python benchmarks/bench_glide_tail_ab.py [batch] [runs]
+    python benchmarks/research/bench_glide_tail_ab.py [batch] [runs]
 """
 from __future__ import annotations
 
@@ -14,7 +21,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -57,18 +65,21 @@ def main():
     key = jax.random.PRNGKey(1)
 
     results = {}
-    for tag, env in (("base", None), ("tail", "tail=1")):
-        if env is None:
-            os.environ.pop("MDT_GLIDE_TUNE", None)
-        else:
-            os.environ["MDT_GLIDE_TUNE"] = env
-        # fresh build => fresh jit closure; flags() re-resolves on env change
-        fn = gc.GlideCascadePipeline(m).build_generate(batch_size=batch)
-        dt = _timeit(fn, (params, tokens, mask, key), runs)
-        results[f"{tag}_ms"] = round(dt * 1e3, 1)
-        results[f"{tag}_img_per_s"] = round(batch / dt, 4)
-        log(f"{tag}: {dt*1e3:.1f} ms  ({batch/dt:.4f} img/s)")
-    os.environ.pop("MDT_GLIDE_TUNE", None)
+    try:
+        for tag, env in (("base", None), ("tail", "tail=1")):
+            if env is None:
+                os.environ.pop("MDT_GLIDE_TUNE", None)
+            else:
+                os.environ["MDT_GLIDE_TUNE"] = env
+            # fresh build => fresh jit closure; flags() re-resolves on change
+            fn = gc.GlideCascadePipeline(m).build_generate(batch_size=batch)
+            dt = _timeit(fn, (params, tokens, mask, key), runs)
+            results[f"{tag}_ms"] = round(dt * 1e3, 1)
+            results[f"{tag}_img_per_s"] = round(batch / dt, 4)
+            log(f"{tag}: {dt*1e3:.1f} ms  ({batch/dt:.4f} img/s)")
+    finally:
+        # an exception mid-A/B must not leave the flag set for later code
+        os.environ.pop("MDT_GLIDE_TUNE", None)
 
     print(json.dumps(results))
 

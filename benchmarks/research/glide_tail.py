@@ -1,4 +1,17 @@
-"""Fused GLIDE SR sampler tail: GroupNorm-apply + SiLU + the eps-half of the
+"""STATUS: REJECTED (r4h/r4i, same-claim e2e A/Bs) — retired from ops/ in
+r5. GLIDE cascade tail=1: 1.9931 vs 2.0064 baseline (−26.5 ms/cascade): at
+the SR shapes the taps-in-N GEMM's 27->128 lane padding (4.7x wasted MXU
+lanes over 64 grid steps x 27 steps) costs more than the ~43 ms 7.3 TF/s
+direct-conv chain it replaces, even with ZERO tiny-channel HBM
+materializations — for c_out<=6 the fused XLA direct conv IS the floor
+(same lesson as lowco.py, one level deeper). SD2 MDT_SD_TAIL=1: 1.9385 vs
+1.9399 — neutral (the SD tail is only ~2 ms/step of XLA time). The working
+batch-in-sublanes mechanism (transposed-view operands; B-in-sublanes makes
+tap offsets native aligned slices) is recorded in DESIGN.md §15. The
+MDT_SD_TAIL / MDT_GLIDE_TUNE=tail flags, the samplers' fused-tail loops,
+and the models' return_features plumbing were removed with the retirement.
+
+Fused GLIDE SR sampler tail: GroupNorm-apply + SiLU + the eps-half of the
 3x3 out_conv + the DDIM (eta=0) step math, one Pallas pass.
 
 Why (r4d/r4g measured evidence): the SR-stage out_conv (192 -> 6 at 256²,

@@ -1,4 +1,18 @@
-"""Per-channel spatial moments (s1=Σx, s2=Σx²) as a Pallas streaming kernel.
+"""STATUS: REJECTED (r4a-r4e, e2e-measured at every scope) — retired from
+ops/ in r5. SD2 512² DDIM-50 b8 A/Bs vs the 1.941 img/s baseline:
+MDT_GN_STATS=all 1.796 (convert_reduce collapsed 958->224 ms and the kernel
+itself cost only 66 ms, but the freed convs stayed lane-padding-capped at
+141-145 TF/s while apply materializations + affine-prologue restructuring
+added ~250 ms); =merged (the 3 dragged sites only) 1.852; module-scope
+"stats" −0.13 (standard-layout kernel boundary = pure relayout copies);
+module-scope transposed "stats_t" −0.008 (neutral). Lessons kept:
+DESIGN.md §13 (Pallas boundary layouts — feed a transposed VIEW matching
+the producer's memory order) and models/unet._stat_sums' docstring (the
+conv-epilogue stat reduce is effectively free; don't isolate it). The
+MDT_GN_STATS flag and the model hooks were removed with the retirement —
+running this kernel now means calling channel_sums() directly.
+
+Per-channel spatial moments (s1=Σx, s2=Σx²) as a Pallas streaming kernel.
 
 Why a kernel (r3d/r4a xprof evidence): GroupNorm's fp32 convert+square+reduce
 gets fused by XLA INTO the producing convolution as a tuple-output epilogue

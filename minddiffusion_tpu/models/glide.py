@@ -213,7 +213,7 @@ class GlideUNet(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, emb, encoder_out=None, return_features=False):
+    def __call__(self, x, emb, encoder_out=None):
         cfg = self.config
         h = x.astype(cfg.dtype)
 
@@ -284,12 +284,6 @@ class GlideUNet(nn.Module):
                         h = Upsample(ch, cfg.dtype, name=f"up_{level}_us")(h)
                     ds //= 2
 
-        if return_features:
-            # pre-tail features for the fused Pallas sampler tail
-            # (ops/glide_tail): GN + SiLU + out_conv + the DDIM step math
-            # run in one kernel there. init still traces the full tail
-            # below, so the param tree is identical on both paths.
-            return h
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
         h = conv3x3(cfg.out_channels, cfg.dtype, zero_init=True, name="out_conv")(h)
@@ -367,20 +361,6 @@ class SuperResText2ImUNet(nn.Module):
         out = self.unet(x, emb, xf_out)
         eps, v = jnp.split(out, 2, axis=-1)
         return eps, v
-
-    def denoise_features(self, x, timesteps, low_res, xf_proj, xf_out):
-        """`denoise` stopped before the out_norm/out_conv tail: returns the
-        (B, H, W, model_channels) pre-tail features for the fused Pallas
-        sampler tail (ops/glide_tail). Same signature as `denoise`."""
-        cfg = self.unet_config
-        b, h, w, _ = x.shape
-        up = jax.image.resize(low_res.astype(jnp.float32), (b, h, w, low_res.shape[-1]),
-                              method="bilinear")
-        x = jnp.concatenate([x.astype(jnp.float32), up], axis=-1)
-        t_emb = timestep_embedding(timesteps, cfg.model_channels)
-        emb = self.time_embed_0(t_emb.astype(cfg.dtype))
-        emb = self.time_embed_2(nn.silu(emb)) + xf_proj.astype(cfg.dtype)
-        return self.unet(x, emb, xf_out, return_features=True)
 
     def __call__(self, x, timesteps, low_res, tokens, mask):
         xf_proj, xf_out = self.encode_text(tokens, mask)

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from minddiffusion_tpu.ops.gn_stats import channel_sums, stats_route
 from minddiffusion_tpu.utils.flags import flags
 
 Dtype = Any
@@ -107,14 +106,11 @@ class GroupNorm32(nn.Module):
     Reference keeps GroupNorm fp32 under fp16 activations (util.py:90-96,
     attention.py Normalize). eps matches per use site.
 
-    On TPU at qualifying shapes the statistics come from the Pallas
-    channel-sums kernel (ops/gn_stats): as a custom call they cannot be
-    fused into the producing conv, which otherwise drops from ~163 to ~136
-    TF/s carrying the stat reduces as a tuple-output epilogue (xprof
-    convert_reduce_fusion class, 896 ms of the 50-step SD2 program).
-    The normalization itself is then one per-(batch,channel) affine —
-    identical math to flax GroupNorm, reduction order aside. Param tree is
-    identical on both paths. MDT_GN_STATS=0 opts out.
+    The fp32 stat reduces ride the producing conv as a tuple-output
+    epilogue (XLA's convert_reduce fusion class), which is effectively free;
+    a Pallas channel-sums kernel that isolated them measured a LOSS at every
+    scope (r4 A/Bs — retired to benchmarks/research/gn_stats.py, boundary-
+    layout lesson in DESIGN.md §13).
     """
 
     num_groups: int = 32
@@ -124,16 +120,6 @@ class GroupNorm32(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         channels = x.shape[-1]
         groups = _gn_groups(channels, self.num_groups)
-        mode = flags().gn_stats
-        if (mode in ("all", "stats", "stats_t")
-                and stats_route(x.shape, jnp.dtype(x.dtype).itemsize)):
-            scale, bias = GNInner(channels, name="GroupNorm_0")()
-            s1, s2 = channel_sums(x, mode == "stats_t")
-            mult, add = gn_affine_from_sums(
-                s1, s2, x.shape[1] * x.shape[2], scale, bias, groups, self.eps)
-            y = (x.astype(jnp.float32) * mult[:, None, None, :]
-                 + add[:, None, None, :])
-            return y.astype(x.dtype)
         # flax computes the statistics in fp32 regardless of `dtype` (verified
         # bit-identical to an explicit fp32 round-trip), so activations can
         # stay bf16 end to end — no materialized fp32 copies.

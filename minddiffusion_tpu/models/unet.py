@@ -46,7 +46,6 @@ from minddiffusion_tpu.models.layers import (
     nearest_upsample_2x,
     timestep_embedding,
 )
-from minddiffusion_tpu.ops.gn_stats import channel_sums
 from minddiffusion_tpu.ops.winograd import merged_channel_sums, wino_chain_ok
 from minddiffusion_tpu.utils.flags import flags
 
@@ -126,54 +125,29 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
-def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5, drag=False):
+def _gn_affine(x, scale, bias, num_groups=32, eps=1e-5):
     """GroupNorm folded to a per-(batch, channel) affine: returns (mult, add)
     with GroupNorm(x)*scale + bias == x*mult + add. Same fp32 stats formula
     as _split_group_norm_silu (tested equal to flax GroupNorm). Feeds the
     winograd kernel's fused GN+SiLU prologue (layers.conv3x3_dispatch gn=),
-    which skips materializing the normalized activation in HBM. Stats come
-    from ops/gn_stats.channel_sums (the Pallas kernel on TPU — keeps the
-    reduces out of the producer conv's fusion)."""
-    s1, s2 = _stat_sums(x, drag=drag)
+    which skips materializing the normalized activation in HBM."""
+    s1, s2 = _stat_sums(x)
     return gn_affine_from_sums(
         s1, s2, x.shape[1] * x.shape[2], scale, bias, num_groups, eps)
 
 
-def _stat_sums(x, drag=False):
-    """Per-channel fp32 spatial sums (s1, s2) for GroupNorm statistics.
-
-    MDT_GN_STATS scopes the Pallas streaming kernel (ops/gn_stats):
-    "merged" routes only `drag=True` sites — stats whose producer conv
-    measured REAL epilogue drag (the merge-aligned 640->320 conv: 97->82.5
-    ms when freed, r4b per-site profile). "all" routes every qualifying
-    site; measured a blanket e2e LOSS (1.796 vs 1.941) because ds1 320-ch
-    convs are lane-padding-capped at ~144 TF/s with or without the stat
-    epilogue, while the kernel pass + apply materialization cost real time.
-    Default "0": inline jnp reduction (XLA fuses it into the producer)."""
-    mode = flags().gn_stats
-    if mode == "all" or (mode == "merged" and drag):
-        # transposed reads: the r4d isolation A/B measured the standard-
-        # layout kernel boundary at −0.13 img/s of pure relayout copies
-        # (conv emitters produce batch-in-sublanes layouts) vs −0.008 for
-        # the (H,W,B,C)-view kernel. Always read transposed.
-        return channel_sums(x, True)
+def _stat_sums(x):
+    """Per-channel fp32 spatial sums (s1, s2) for GroupNorm statistics,
+    as plain jnp reductions: XLA fuses them into the producing conv as a
+    tuple-output epilogue, which is effectively FREE (VPU-overlapped). A
+    Pallas streaming stats kernel that made the reduces unfusable was
+    measured a LOSS at every scope (r4: blanket 1.796, dragged-sites-only
+    1.852, module-scope transposed −0.008 vs the 1.941 baseline — the freed
+    convs stay lane-padding-capped while the kernel pass + apply
+    materializations cost real time); it is retired to
+    benchmarks/research/gn_stats.py."""
     x32 = x.astype(jnp.float32)
     return jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))
-
-
-def _gn_route(shape, itemsize, drag=False) -> bool:
-    """True when GN stats at this site come from the Pallas kernel — then the
-    GN+SiLU apply is folded into the following conv as a per-(batch,channel)
-    affine prologue (the gn= path of layers.conv3x3_dispatch) even for convs
-    that do NOT route to the winograd kernel: the elementwise prologue fuses
-    into the direct conv, so no normalized activation is materialized and
-    the producer conv sheds its convert_reduce epilogue. See _stat_sums for
-    the MDT_GN_STATS scoping."""
-    from minddiffusion_tpu.ops.gn_stats import stats_route
-
-    mode = flags().gn_stats
-    return ((mode == "all" or (mode == "merged" and drag))
-            and stats_route(shape, itemsize))
 
 
 def _split_gn_affine(parts, scale, bias, num_groups=32, eps=1e-5):
@@ -262,20 +236,16 @@ class ResBlock(nn.Module):
                 # replaces. The gate stays exact-aligned.
                 x = jax.lax.optimization_barrier(
                     jnp.concatenate([x, skip], axis=-1))
-                merged_in = True
             else:
                 return self._call_split(x, skip, emb)
-        else:
-            merged_in = False
         in_ch = x.shape[-1]
         # GN+SiLU folded into the winograd conv as an in-kernel affine
         # prologue (no normalized activation materialized in HBM) wherever
         # the conv routes to the kernel; the module path otherwise.
         esz = jnp.dtype(self.dtype).itemsize
         fuse_in = (not self.up and not self.down
-                   and (wino_route(x.shape[1], x.shape[2], in_ch,
-                                   self.out_channels, itemsize=esz)
-                        or _gn_route(x.shape, esz)))
+                   and wino_route(x.shape[1], x.shape[2], in_ch,
+                                  self.out_channels, itemsize=esz))
         chain = (fuse_in
                  and wino_route(x.shape[1], x.shape[2], in_ch,
                                 self.out_channels, itemsize=esz)
@@ -316,7 +286,7 @@ class ResBlock(nn.Module):
 
         h = self._emb_norm_conv_out(h_m if h_m is not None else h,
                                     h_m is not None, emb,
-                                    x.shape[1], x.shape[2], drag=merged_in)
+                                    x.shape[1], x.shape[2])
 
         if in_ch != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
@@ -330,7 +300,7 @@ class ResBlock(nn.Module):
         return dense(width, self.dtype, name="emb_proj")(nn.silu(emb))
 
     def _emb_norm_conv_out(self, h, merged: bool, emb: jnp.ndarray,
-                           hh: int, ww: int, drag: bool = False) -> jnp.ndarray:
+                           hh: int, ww: int) -> jnp.ndarray:
         """Shared t-emb + norm_out + conv_out tail (__call__ and the split
         path). `merged`: h is the conv_in winograd A-form — GN moments come
         from merged_channel_sums, the embedding add is folded analytically
@@ -361,13 +331,12 @@ class ResBlock(nn.Module):
 
         emb_out = emb_out[:, None, None, :]
         esz_ = jnp.dtype(self.dtype).itemsize
-        fuse_out = (wino_route(hh, ww, co, co, itemsize=esz_)
-                    or _gn_route(h.shape, esz_, drag=drag))
+        fuse_out = wino_route(hh, ww, co, co, itemsize=esz_)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             if fuse_out:
                 gs2, gb2 = _GN32Params(co, name="norm_out")()
-                m0, a0 = _gn_affine(h, gs2, gb2, drag=drag)
+                m0, a0 = _gn_affine(h, gs2, gb2)
                 s_ = 1.0 + scale[:, 0, 0, :].astype(jnp.float32)
                 sh_ = shift[:, 0, 0, :].astype(jnp.float32)
                 h = conv3x3(co, self.dtype, zero_init=True,
@@ -382,7 +351,7 @@ class ResBlock(nn.Module):
                 # analytic pre-norm emb fold (see gn_affine_from_sums emb=):
                 # the h+emb tensor is never formed; the affine absorbs it
                 gs2, gb2 = _GN32Params(co, name="norm_out")()
-                s1, s2 = _stat_sums(h, drag=drag)
+                s1, s2 = _stat_sums(h)
                 gn_oa = gn_affine_from_sums(s1, s2, hh * ww, gs2, gb2,
                                             emb=emb_out[:, 0, 0, :])
                 h = conv3x3(co, self.dtype, zero_init=True,
@@ -410,9 +379,7 @@ class ResBlock(nn.Module):
                    and (wino_route(x.shape[1], x.shape[2], cx,
                                    self.out_channels, itemsize=esz)
                         or wino_route(x.shape[1], x.shape[2], skip.shape[-1],
-                                      self.out_channels, itemsize=esz)
-                        or (_gn_route(x.shape, esz)
-                            and _gn_route(skip.shape, esz))))
+                                      self.out_channels, itemsize=esz)))
         if fuse_in:
             # combined-stats GN folded to per-half affines; the winograd
             # halves take it as the in-kernel prologue, a non-wino half
@@ -479,9 +446,8 @@ class ResBlock(nn.Module):
             else self.out_channels)
         emb_out = emb_out[:, None, None, :]
         esz2 = jnp.dtype(self.dtype).itemsize
-        fuse_out = (wino_route(h.shape[1], h.shape[2], self.out_channels,
-                               self.out_channels, itemsize=esz2)
-                    or _gn_route(h.shape, esz2))
+        fuse_out = wino_route(h.shape[1], h.shape[2], self.out_channels,
+                              self.out_channels, itemsize=esz2)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             if fuse_out:
@@ -580,7 +546,6 @@ class UNetModel(nn.Module):
         context: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None,
         cfg_fold=False,
-        return_features=False,
     ) -> jnp.ndarray:
         """cfg_fold (False | True | "interleave"): classifier-free-guidance
         dedup; the string value switches the in-network duplications to the
@@ -700,12 +665,6 @@ class UNetModel(nn.Module):
                         h = Upsample(ch, cfg.dtype, name=f"up_{level}_us")(h)
                     ds //= 2
 
-        if return_features:
-            # pre-tail features for the fused Pallas sampler tail
-            # (ops/glide_tail sd mode): out_norm + SiLU + out_conv + CFG
-            # guide + the DDIM update run in one kernel there. init traces
-            # the full tail below, so the param tree is identical.
-            return h
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
         h = conv3x3(cfg.out_channels, cfg.dtype, zero_init=True, name="out_conv")(h)

@@ -20,7 +20,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from minddiffusion_tpu.utils.flags import flags
 
 # Token count above which the Pallas kernel is preferred on TPU. Short
 # (cross-attention, text-encoder) sequences stay on the XLA path: the score
@@ -162,8 +161,8 @@ _packed_ad.defvjp(_packed_ad_fwd, _packed_ad_bwd)
 # VMEM budget for the packed (heads-unsplit) kernel: K, V and a q tile's score
 # row must fit on-chip together.
 _PACKED_VMEM_BUDGET = 12 * 1024 * 1024
-# fp32 score-tile budget gating the q-block choice (and the MDT_ATTN_BQ
-# override) — one constant for both.
+# fp32 score-tile budget gating the q-block choice (and the block_q
+# call-site hint) — one constant for both.
 _SCORE_TILE_BUDGET = 6 * 1024 * 1024
 
 
@@ -200,16 +199,14 @@ def packed_attention(
         bq = 256 if 256 * nk * 4 <= _SCORE_TILE_BUDGET else 128
         # call-site hint (e.g. GLIDE passes 1024: its short-nk sites measured
         # 2.005 vs 1.999 img/s with the whole-nq tile — the larger q tile
-        # amortizes the per-tile K/V reload at small nk); the MDT_ATTN_BQ
-        # env override wins over the hint for A/Bs
-        bq_env = flags().attn_bq or block_q
-        if bq_env:
-            # A/B override (GLIDE's short-nk sites run 75T vs SD's 96T — a
-            # larger q tile amortizes the per-tile K/V reload at small nk).
+        # amortizes the per-tile K/V reload at small nk). The MDT_ATTN_BQ
+        # env override was retired in r5 (its winning value is this hint;
+        # every other value measured worse — ROADMAP "ds1 anatomy").
+        if block_q:
             # Rounded DOWN to a 128 multiple; ignored unless it divides the
             # q length and fits the same score-tile budget (ADVICE r3: an
             # unaligned/non-dividing value crashed at Mosaic trace time).
-            cand = min(bq_env - bq_env % 128, nq)
+            cand = min(block_q - block_q % 128, nq)
             if (cand >= 128 and nq % cand == 0
                     and cand * nk * 4 <= _SCORE_TILE_BUDGET):
                 bq = cand

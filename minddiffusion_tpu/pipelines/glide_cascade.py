@@ -297,36 +297,13 @@ class GlideCascadePipeline:
                 x_T_sr = upsample_temp * jax.vmap(lambda rk: jax.random.normal(
                     rk, (sr_size, sr_size, 3), jnp.float32))(tag(4))
 
-            if flags().glide_tail:
-                # Fused Pallas sampler tail (ops/glide_tail): the model stops
-                # at the pre-out_norm features; GN + SiLU + the eps half of
-                # out_conv + the DDIM step math run in one kernel (the
-                # 192->6 out_conv otherwise runs at 7.3 TF/s — 6 output
-                # channels pad to 128 MXU lanes).
-                def sr_features_fn(x, t_orig):
-                    return m.super_res.apply(sr_vars, x, t_orig, low_res,
-                                             xf_proj_s, xf_out_s,
-                                             method=m.super_res.denoise_features)
+            def sr_model_fn(x, t_orig):
+                return m.super_res.apply(sr_vars, x, t_orig, low_res,
+                                         xf_proj_s, xf_out_s,
+                                         method=m.super_res.denoise)
 
-                unet_p = sr_vars["params"]["unet"]
-                tail = {
-                    "gn_scale": unet_p["out_norm"]["GroupNorm_0"]["scale"],
-                    "gn_bias": unet_p["out_norm"]["GroupNorm_0"]["bias"],
-                    "kernel": unet_p["out_conv"]["kernel"],
-                    "bias": unet_p["out_conv"]["bias"],
-                    "groups": 32,
-                    "eps": 1e-5,
-                }
-                img256 = ancestral.ddim_sample_loop_fused_tail(
-                    sr_features_fn, tail, x_T_sr, m.sr_schedule)
-            else:
-                def sr_model_fn(x, t_orig):
-                    return m.super_res.apply(sr_vars, x, t_orig, low_res,
-                                             xf_proj_s, xf_out_s,
-                                             method=m.super_res.denoise)
-
-                img256 = ancestral.ddim_sample_loop(
-                    sr_model_fn, x_T_sr, m.sr_schedule)
+            img256 = ancestral.ddim_sample_loop(
+                sr_model_fn, x_T_sr, m.sr_schedule)
 
             out = {"base": _to_uint8(img64), "super_res": _to_uint8(img256)}
 

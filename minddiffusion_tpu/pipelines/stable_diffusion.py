@@ -127,7 +127,7 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
                  concat2b: Optional[jnp.ndarray] = None,
                  class_labels2b: Optional[jnp.ndarray] = None,
                  sample_shape: Optional[Tuple[int, int, int]] = None,
-                 cfg_layout: str = "halves", features: bool = False):
+                 cfg_layout: str = "halves"):
     """CFG-wrapped eps model covering every DiffusionWrapper conditioning key
     of the reference (ddpm.py:360-379): crossattn (context2b), concat /
     hybrid (concat2b channel concat, inpaint), adm (class_labels2b added to
@@ -181,21 +181,6 @@ def _make_eps_fn(models: SDModels, params, context2b, guidance_scale,
             x2 = jnp.concatenate([x2, concat2b.astype(x2.dtype)], axis=-1)
         return models.unet.apply(unet_vars, x2, t2, ctx2,
                                  y=class_labels2b, cfg_fold=fold_mode)
-
-    if features:
-        # Pre-tail features of the CFG-folded batch (for the fused Pallas
-        # sampler tail, samplers/ddim.sample_fused_tail) — same duplication
-        # semantics as cfg_lib.wrap_model, no guide.
-        def features_fn(x, t):
-            t2 = t if t.shape[0] == 1 else cfg_lib.duplicate(t, interleave)
-            x2 = x if dedup else cfg_lib.duplicate(x, interleave)
-            if concat2b is not None:
-                x2 = jnp.concatenate([x2, concat2b.astype(x2.dtype)], axis=-1)
-            return models.unet.apply(unet_vars, x2, t if dedup else t2,
-                                     context2b, y=class_labels2b,
-                                     cfg_fold=fold_mode, return_features=True)
-
-        return features_fn
 
     return cfg_lib.wrap_model(apply_fn, context2b, guidance_scale, dedup=dedup,
                               interleave=interleave)
@@ -278,33 +263,18 @@ class StableDiffusionPipeline:
             tok2 = cfg_lib.fold(uncond_tokens, tokens,
                                 interleave=cfg_layout == "interleave")
             ctx2 = m.text_encoder.apply(params["text"], tok2)
-            fused_tail = (flags().sd_tail and sampler == "ddim"
-                          and cfg_layout == "halves")
             eps_fn = _make_eps_fn(
                 m, params, ctx2, guidance_scale,
                 sample_shape=(batch_size, h8, w8)
                 if sampler in ("ddim", "plms") else None,
-                cfg_layout=cfg_layout, features=fused_tail)
+                cfg_layout=cfg_layout)
             key, knoise = jax.random.split(key)
             if noise is not None:
                 assert noise.shape == (batch_size, h8, w8, 4), (
                     f"noise must be {(batch_size, h8, w8, 4)}, got {noise.shape}")
             x_T = (jax.random.normal(knoise, (batch_size, h8, w8, 4), jnp.float32)
                    if noise is None else noise.astype(jnp.float32))
-            if fused_tail:
-                unet_p = params["unet"]["params"]
-                tail = {
-                    "gn_scale": unet_p["out_norm"]["GroupNorm_0"]["scale"],
-                    "gn_bias": unet_p["out_norm"]["GroupNorm_0"]["bias"],
-                    "kernel": unet_p["out_conv"]["kernel"],
-                    "bias": unet_p["out_conv"]["bias"],
-                    "groups": 32,
-                    "eps": 1e-5,
-                }
-                z = ddim.sample_fused_tail(eps_fn, tail, guidance_scale,
-                                           x_T, m.schedule, num_steps)
-            else:
-                z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)
+            z = _run_sampler(sampler, eps_fn, x_T, m.schedule, num_steps, key)
             img = m.vae.apply(params["vae"], latents.unscale_latents(z, m.scale_factor),
                               method=m.vae.decode)
             return latents.unit_range_to_uint8(img)

@@ -142,62 +142,3 @@ def ddim_sample_loop(
 
     x_final, _ = jax.lax.scan(step, x_T.astype(jnp.float32), (ts, keys))
     return x_final
-
-
-def ddim_sample_loop_fused_tail(
-    features_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
-    tail: dict,
-    x_T: jnp.ndarray,
-    schedule: DiffusionSchedule,
-) -> jnp.ndarray:
-    """DDIM (eta=0, clip_denoised) where the UNet tail (out_norm GroupNorm +
-    SiLU + the eps half of out_conv — the learned-variance half is dead
-    under eta=0) and the whole per-step sampler math run as ONE Pallas pass
-    (ops/glide_tail; math identical to `ddim_sample_loop` up to fp32-SiLU
-    and tap-order reassociation — see the kernel docstring).
-
-    `features_fn(x, t_orig) -> (B, H, W, C) pre-tail features` (the model's
-    `denoise_features` method); `tail` carries the tail params:
-    {gn_scale, gn_bias, kernel, bias, groups, eps}. Off-TPU (and at shapes
-    `tail_route` rejects) the fused step falls back to an equivalent
-    plain-XLA composition, so the loop is runnable everywhere."""
-    from minddiffusion_tpu.models.layers import gn_affine_from_sums
-    from minddiffusion_tpu.ops import glide_tail
-    from minddiffusion_tpu.utils.xla_opts import _tpu_platform
-
-    n = schedule.num_timesteps
-    ts = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
-    batch = x_T.shape[0]
-    w_eps = tail["kernel"][..., :3]
-    b_eps = tail["bias"][:3]
-    platform = "tpu" if _tpu_platform() else "cpu"
-
-    def step(x, t):
-        tb = common.broadcast_t(t, batch)
-        t_orig = jnp.take(schedule.timestep_map, tb)
-        h = features_fn(x, t_orig)
-        hf = h.astype(jnp.float32)
-        # plain jnp sums: XLA fuses them into the producing conv as a
-        # tuple-output epilogue (measured free — the convert_reduce class)
-        s1 = jnp.sum(hf, axis=(1, 2))
-        s2 = jnp.sum(hf * hf, axis=(1, 2))
-        mult, add = gn_affine_from_sums(
-            s1, s2, h.shape[1] * h.shape[2], tail["gn_scale"],
-            tail["gn_bias"], tail["groups"], tail["eps"])
-        abar_prev = schedule.alphas_cumprod_prev[t]
-        coefs = jnp.stack([
-            schedule.sqrt_recip_alphas_cumprod[t],
-            schedule.sqrt_recipm1_alphas_cumprod[t],
-            jnp.sqrt(abar_prev),
-            jnp.sqrt(jnp.maximum(1.0 - abar_prev, 0.0)),
-        ]).astype(jnp.float32)
-        if glide_tail.tail_route(h.shape, platform):
-            x_prev = glide_tail.ddim_tail_step(
-                h, x, mult, add, w_eps, b_eps, coefs)
-        else:
-            x_prev = glide_tail.ddim_tail_step_ref(
-                h, x, mult, add, w_eps, b_eps, coefs)
-        return x_prev, None
-
-    x_final, _ = jax.lax.scan(step, x_T.astype(jnp.float32), ts)
-    return x_final

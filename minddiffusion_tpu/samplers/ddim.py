@@ -91,66 +91,3 @@ def sample(
     xs = (tables["t"], tables["alpha"], tables["alpha_prev"], tables["sigma"], keys)
     x_final, _ = jax.lax.scan(step, x_T.astype(jnp.float32), xs)
     return x_final
-
-
-def sample_fused_tail(
-    features_fn,
-    tail: dict,
-    guidance_scale: float,
-    x_T: jnp.ndarray,
-    schedule: DiffusionSchedule,
-    num_steps: int = 50,
-    method: str = "uniform",
-    t_start_index: Optional[int] = None,
-) -> jnp.ndarray:
-    """DDIM (eta=0, no mask blending) where the UNet tail (out_norm
-    GroupNorm + SiLU + out_conv), the CFG guide over the [uncond; cond]
-    halves, and the per-step update run as ONE Pallas pass
-    (ops/glide_tail.sd_cfg_tail_step). With eta=0 the update is linear in
-    (x, eps): x_prev = cA*x + cB*eps_guided, cA = sqrt(a_prev/a_t),
-    cB = sqrt(1-a_prev) - sqrt(a_prev*(1-a_t)/a_t) — identical math to
-    `sample` up to fp32-SiLU and tap-order reassociation (kernel docstring).
-
-    `features_fn(x, t) -> (2B, H, W, C)` pre-tail features of the CFG-folded
-    batch (halves layout; the interleaved mesh layout would need stride-2
-    sublane slices and is rejected by sd_tail_route). Off-TPU the step falls
-    back to an equivalent plain-XLA composition."""
-    from minddiffusion_tpu.models.layers import gn_affine_from_sums
-    from minddiffusion_tpu.ops import glide_tail
-    from minddiffusion_tpu.utils.xla_opts import _tpu_platform
-
-    tables = build_tables(schedule, num_steps, 0.0, method)
-    start = num_steps - (t_start_index if t_start_index is not None else num_steps)
-    tables = {k: v[start:] for k, v in tables.items()}
-    batch = x_T.shape[0]
-    w_eps = tail["kernel"]
-    b_eps = tail["bias"]
-    platform = "tpu" if _tpu_platform() else "cpu"
-
-    def step(x, per_step):
-        t, a_t, a_prev = per_step
-        tb = common.broadcast_t(t, batch)
-        h = features_fn(x, tb)
-        hf = h.astype(jnp.float32)
-        # plain jnp sums: XLA fuses them into the producing conv as a
-        # tuple-output epilogue (measured free — the convert_reduce class)
-        s1 = jnp.sum(hf, axis=(1, 2))
-        s2 = jnp.sum(hf * hf, axis=(1, 2))
-        mult, add = gn_affine_from_sums(
-            s1, s2, h.shape[1] * h.shape[2], tail["gn_scale"],
-            tail["gn_bias"], tail["groups"], tail["eps"])
-        c_x = jnp.sqrt(a_prev / a_t)
-        c_eps = jnp.sqrt(1.0 - a_prev) - jnp.sqrt(a_prev * (1.0 - a_t) / a_t)
-        coefs = jnp.stack([jnp.asarray(guidance_scale, jnp.float32),
-                           c_x, c_eps, jnp.zeros((), jnp.float32)])
-        if glide_tail.sd_tail_route(h.shape, platform):
-            x_prev = glide_tail.sd_cfg_tail_step(
-                h, x, mult, add, w_eps, b_eps, coefs)
-        else:
-            x_prev = glide_tail.sd_cfg_tail_step_ref(
-                h, x, mult, add, w_eps, b_eps, coefs)
-        return x_prev, None
-
-    xs = (tables["t"], tables["alpha"], tables["alpha_prev"])
-    x_final, _ = jax.lax.scan(step, x_T.astype(jnp.float32), xs)
-    return x_final

@@ -227,13 +227,13 @@ class BatchingEngine:
 
     # -- worker ------------------------------------------------------------
 
-    def _collect(self) -> list:
+    def _collect(self, idle_timeout: float = 0.1) -> list:
         batch = []
         deadline = None
         while len(batch) < self._batch:
             if deadline is None:
                 try:
-                    req = self._q.get(timeout=0.1)
+                    req = self._q.get(timeout=idle_timeout)
                 except queue.Empty:
                     return batch
             else:
@@ -277,7 +277,10 @@ class BatchingEngine:
                      and hasattr(self._adapter, "fetch"))
         pending: Optional[tuple] = None  # (batch, in-flight device handle)
         while not self._stop.is_set():
-            batch = self._collect()
+            # with a batch in flight, don't sit out the full 0.1 s idle poll
+            # before fetching a possibly-completed result (up to ~100 ms of
+            # needless delivery latency for fast programs when traffic stops)
+            batch = self._collect(idle_timeout=0.005 if pending else 0.1)
             handle = None
             if batch:
                 rows = [r.payload for r in batch]

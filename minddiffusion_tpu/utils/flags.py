@@ -10,7 +10,11 @@ cheap tuple compare), so production traces see a constant object while tests
 that monkeypatch env vars still observe their changes.
 
 Surviving flags (shipped-default opt-outs + tuning knobs; every deleted flag's
-lesson lives in ROADMAP.md "Tried and rejected"):
+lesson lives in ROADMAP.md "Tried and rejected". r5 retired MDT_GN_STATS,
+MDT_SD_TAIL, MDT_GLIDE_TUNE=tail — kernels in benchmarks/research/{gn_stats,
+glide_tail}.py — and MDT_ATTN_BQ, whose winning value is GLIDE's in-model
+block_q=1024 default; other values measured worse, and callers can still
+pass block_q programmatically):
   MDT_WINO=0           opt out of the Winograd conv kernel entirely
   MDT_WINO_TUNE=...    comma k=v conv-kernel tuning: hmax=<int>,cmin=<int>,
                        dma=0,chain=0 (winograd shape-gate ceiling/floor,
@@ -24,26 +28,10 @@ lesson lives in ROADMAP.md "Tried and rejected"):
                        hoist measured negative, add "wino" to force);
                        "0": off; "force": capture even off-TPU (tests);
                        or explicit list e.g. "kv" / "kv,wino"
-  MDT_GN_STATS         Pallas GroupNorm-stats kernel scope: "0" (off,
-                       default), "merged" (only norm_out stats of merge-
-                       aligned resblocks — the one site class whose producer
-                       conv measured real stat-epilogue drag, 97->82.5 ms),
-                       "all" (every >=2MiB GN site; r4b A/B: 1.796 vs
-                       1.941 img/s — the blanket version LOSES: ds1 320-ch
-                       convs are lane-cap-bound, the epilogue was free),
-                       "stats"/"stats_t" (GroupNorm32 module sites only, no
-                       conv-prologue folding; _t reads the conv-native
-                       transposed layout — variable-isolation A/B modes)
   MDT_GLIDE_TUNE=...   comma k=v GLIDE cascade tuning: s2d=<0/1> (space-to-
                        depth blocked SRGAN tail conv, default on),
                        skip_join=<concat/split/barrier> (up-path skip-join
-                       strategy, default concat), tail=<0/1> (fused Pallas
-                       SR sampler tail, ops/glide_tail)
-  MDT_SD_TAIL=1        fused Pallas SD DDIM sampler tail (out_norm + SiLU +
-                       out_conv + CFG guide + eta=0 update in one kernel;
-                       ddim txt2img, halves CFG layout only)
-  MDT_ATTN_BQ=<int>    attention q-block override (rounded to 128s; ignored
-                       when it does not divide the site's padded q length)
+                       strategy, default concat)
   MDT_XLA_OPTS         extra XLA compiler options / "off" (utils/xla_opts.py)
 """
 from __future__ import annotations
@@ -54,8 +42,8 @@ from typing import Optional, Tuple
 
 _KEYS = (
     "MDT_WINO", "MDT_WINO_TUNE", "MDT_SPLIT_CONCAT", "MDT_MERGE_ALIGNED",
-    "MDT_FUSED_UP", "MDT_CFG_DEDUP", "MDT_HOIST", "MDT_GN_STATS",
-    "MDT_GLIDE_TUNE", "MDT_SD_TAIL", "MDT_ATTN_BQ", "MDT_XLA_OPTS",
+    "MDT_FUSED_UP", "MDT_CFG_DEDUP", "MDT_HOIST", "MDT_GLIDE_TUNE",
+    "MDT_XLA_OPTS",
 )
 
 
@@ -76,15 +64,8 @@ class Flags:
     # GLIDE-only wino-U hoist (measured negative there, default off;
     # SD pipelines hoist wino U whenever `hoist` is on)
     hoist_wino_glide: bool = False
-    gn_stats: str = "0"
     srgan_s2d: bool = True
     glide_skip_join: str = "concat"
-    # fused Pallas sampler tails (ops/glide_tail, GLIDE SR + SD DDIM
-    # variants) — opt-in until the TPU A/Bs land; flip the defaults on a
-    # measured win like prior promotions
-    glide_tail: bool = False
-    sd_tail: bool = False
-    attn_bq: Optional[int] = None
     xla_opts: str = ""
 
 
@@ -127,13 +108,11 @@ def _parse_glide_tune(raw: str) -> dict:
         if "=" not in part:
             raise ValueError(
                 f"MDT_GLIDE_TUNE entry {part!r}: expected k=v with k in "
-                "{s2d,skip_join,tail} (e.g. 's2d=0,skip_join=barrier')")
+                "{s2d,skip_join} (e.g. 's2d=0,skip_join=barrier')")
         k, v = part.split("=", 1)
         k, v = k.strip(), v.strip()
         if k == "s2d":
             out["srgan_s2d"] = v != "0"
-        elif k == "tail":
-            out["glide_tail"] = v != "0"
         elif k == "skip_join":
             if v not in ("concat", "split", "barrier"):
                 raise ValueError(
@@ -142,7 +121,7 @@ def _parse_glide_tune(raw: str) -> dict:
             out["glide_skip_join"] = v
         else:
             raise ValueError(
-                f"MDT_GLIDE_TUNE key {k!r}: expected one of s2d/skip_join/tail")
+                f"MDT_GLIDE_TUNE key {k!r}: expected one of s2d/skip_join")
     return out
 
 
@@ -161,16 +140,7 @@ def _build(env: dict) -> Flags:
         parts = {p.strip() for p in hoist.split(",")}
         kw["hoist_kv"] = "kv" in parts
         kw["hoist_wino_glide"] = "wino" in parts
-    gs = env.get("MDT_GN_STATS", "0")
-    kw["gn_stats"] = {"1": "all"}.get(gs, gs)
-    if kw["gn_stats"] not in ("0", "all", "merged", "stats", "stats_t"):
-        raise ValueError(
-            f"MDT_GN_STATS={gs!r}: expected 0, all/1, merged, stats, or "
-            "stats_t")
     kw.update(_parse_glide_tune(env.get("MDT_GLIDE_TUNE", "")))
-    kw["sd_tail"] = env.get("MDT_SD_TAIL", "0") == "1"
-    bq = env.get("MDT_ATTN_BQ", "")
-    kw["attn_bq"] = int(bq) if bq else None
     kw["xla_opts"] = env.get("MDT_XLA_OPTS", "")
     return Flags(**kw)
 
