@@ -55,6 +55,54 @@ def bench_sd(family, sampler, steps, scale, batch, height=512, width=512):
     return batch / dt
 
 
+def _serving_params(models, res):
+    """Init + serving-cast params (the tuned config the r4d img-edit numbers
+    were measured with, benchmarks/bench_img_edit.py)."""
+    from minddiffusion_tpu.utils.params import cast_serving_params
+
+    params = jax.jit(lambda r: models.init_params(r, height=res, width=res))(
+        jax.random.PRNGKey(0))
+    params = jax.jit(cast_serving_params)(params)
+    jax.block_until_ready(params)
+    return params
+
+
+def bench_img2img(batch=8, res=512, steps=50):
+    """SD2 img2img, DDIM strength 0.75 (38 executed steps). r4d: 2.5503."""
+    from minddiffusion_tpu.pipelines.stable_diffusion import SDModels, StableDiffusionPipeline
+
+    models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
+                             attn_impl="pallas_fast")
+    params = _serving_params(models, res)
+    fn = StableDiffusionPipeline(models).build_img2img(
+        height=res, width=res, num_steps=steps, strength=0.75,
+        sampler="ddim", guidance_scale=9.0)
+    toks = jnp.ones((batch, 77), jnp.int32)
+    init = jnp.zeros((batch, res, res, 3), jnp.float32)
+    dt = _time(fn, (params, init, toks, jnp.zeros_like(toks),
+                    jax.random.PRNGKey(1)))
+    return batch / dt
+
+
+def bench_inpaint(batch=8, res=512, steps=50):
+    """wukong 9-ch hybrid inpaint, PLMS like the reference CLI
+    (wukong-huahua/inpaint.py:65-117). r4d: 1.5529."""
+    from minddiffusion_tpu.pipelines.stable_diffusion import SDModels, StableDiffusionPipeline
+
+    models = SDModels.create(family="wukong-inpaint", dtype=jnp.bfloat16,
+                             attn_impl="pallas_fast")
+    params = _serving_params(models, res)
+    fn = StableDiffusionPipeline(models).build_inpaint(
+        height=res, width=res, num_steps=steps, sampler="plms",
+        guidance_scale=7.5)
+    toks = jnp.ones((batch, 77), jnp.int32)
+    img = jnp.zeros((batch, res, res, 3), jnp.float32)
+    mask = jnp.ones((batch, res, res, 1), jnp.float32)
+    dt = _time(fn, (params, img, mask, toks, jnp.zeros_like(toks),
+                    jax.random.PRNGKey(2)))
+    return batch / dt
+
+
 def bench_glide(batch=8):
     from minddiffusion_tpu.pipelines.glide_cascade import GlideCascadePipeline, GlideModels
 
@@ -74,6 +122,8 @@ CONFIGS = {
     "wukong": lambda: bench_sd("wukong", "dpm", 15, 7.5, 8),
     "sd2_768": lambda: bench_sd("sd2", "ddim", 50, 9.0, 8, height=768, width=768),
     "glide_cascade": lambda: bench_glide(8),
+    "img2img": lambda: bench_img2img(8),
+    "inpaint": lambda: bench_inpaint(8),
 }
 
 

@@ -106,6 +106,90 @@ def test_kv_logger_mean_and_dump(tmp_path):
     assert lg.dumpkvs() == {}
 
 
+def test_inpaint_cli_aug_selection():
+    """cli/inpaint._aug_func mirrors the reference's crop/resize/resizecrop
+    preprocessing (wukong-huahua/inpaint.py:161-184): crop centres an HxW
+    window on the mask (clipped inside the image); resizecrop sizes the
+    window so the mask spans mask_ratio of it, then scales to HxW."""
+    import argparse
+
+    from minddiffusion_tpu.cli.inpaint import _aug_func
+
+    img = Image.fromarray(np.zeros((300, 400, 3), np.uint8))
+    mask_arr = np.zeros((300, 400, 3), np.uint8)
+    mask_arr[100:140, 200:260] = 255  # mask centred at (x=230, y=120)
+    mask = Image.fromarray(mask_arr)
+
+    ns = lambda aug: argparse.Namespace(aug=aug, H=128, W=128, mask_ratio=0.75)
+    assert _aug_func(ns("resize"), img, mask)(img).size == (128, 128)
+    assert _aug_func(ns("none"), img, mask)(img).size == (400, 300)
+
+    cropped_mask = _aug_func(ns("crop"), img, mask)(mask)
+    assert cropped_mask.size == (128, 128)
+    # the 128x128 window centred at (230, 120) covers the whole mask blob
+    assert (np.asarray(cropped_mask)[:, :, 0] > 127).sum() == 40 * 60
+
+    rc = _aug_func(ns("resizecrop"), img, mask)
+    out = rc(mask)
+    assert out.size == (128, 128)
+    # window = ceil(mask_range / ratio) = ceil(59/0.75) = 79px, then scaled
+    # up to 128 — the mask fills a larger fraction than in the plain crop
+    frac = (np.asarray(out)[:, :, 0] > 127).mean()
+    assert 0.25 < frac < 0.65
+
+    empty = Image.fromarray(np.zeros((300, 400, 3), np.uint8))
+    with pytest.raises(SystemExit):
+        _aug_func(ns("crop"), img, empty)
+
+
+def test_kv_logger_tensorboard_writer(tmp_path):
+    """The from-scratch TensorBoard events writer must produce files TF's own
+    parser accepts: TFRecord framing with masked CRC32C + Event/Summary
+    protos (reference logger.py:160-198 uses TF's EventsWriter; ours encodes
+    the same format with zero TF dependency)."""
+    import glob
+    import struct
+
+    lg = KVLogger(str(tmp_path), formats=("tensorboard",))
+    lg.logkv("step", 3)
+    lg.logkv("loss", 0.5)
+    lg.logkv("note", "non-numeric, must be skipped")
+    lg.dumpkvs()
+    lg.logkv("loss", 0.25)
+    lg.dumpkvs()
+
+    (path,) = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+
+    # independent framing check (mirrors the TFRecord spec, not our code)
+    from minddiffusion_tpu.utils.logger import _masked_crc
+
+    records = []
+    raw = open(path, "rb").read()
+    off = 0
+    while off < len(raw):
+        (n,) = struct.unpack("<Q", raw[off:off + 8])
+        (lc,) = struct.unpack("<I", raw[off + 8:off + 12])
+        assert lc == _masked_crc(raw[off:off + 8])
+        payload = raw[off + 12:off + 12 + n]
+        (dc,) = struct.unpack("<I", raw[off + 12 + n:off + 16 + n])
+        assert dc == _masked_crc(payload)
+        records.append(payload)
+        off += 16 + n
+    assert len(records) == 3  # file-version header + 2 dumps
+
+    # TF's own proto parser must accept every record
+    event_pb2 = pytest.importorskip("tensorboard.compat.proto.event_pb2")
+    ev0 = event_pb2.Event.FromString(records[0])
+    assert ev0.file_version == "brain.Event:2"
+    ev1 = event_pb2.Event.FromString(records[1])
+    kvs = {v.tag: v.simple_value for v in ev1.summary.value}
+    assert kvs["loss"] == 0.5 and kvs["step"] == 3.0
+    assert "note" not in kvs and ev1.step == 3
+    ev2 = event_pb2.Event.FromString(records[2])
+    assert {v.tag: v.simple_value for v in ev2.summary.value}["loss"] == 0.25
+    assert ev2.step == 4  # auto-increment when no step kv
+
+
 def test_yaml_model_configs_instantiate():
     """Every shipped YAML config's model target must build (tiny dtype check
     only, no params initialized)."""
