@@ -167,8 +167,11 @@ class GlideAttentionBlock(nn.Module):
         # whole-nq q tiles at GLIDE's short-nk spatial sites (r3h A/B: 2.005
         # vs 1.999 img/s cascade; promoted r4 for pin margin). The dispatch
         # validates divisibility/budget and falls back where it doesn't fit.
+        # MDT_GLIDE_TUNE=attn_route=<n> additionally routes the mid-length
+        # 16² tiers (nq=256, nk=384) to the kernel (r5 A/B surface).
         out = packed_attention(q, k, v, self.heads, impl=self.attn_impl,
-                               block_q=1024)
+                               block_q=1024,
+                               min_q=flags().glide_attn_route)
         out = dense(c, self.dtype, zero_init=True, name="proj_out")(out)
         return x + out.reshape(b, h, w, c)
 

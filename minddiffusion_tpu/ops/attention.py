@@ -174,6 +174,7 @@ def packed_attention(
     scale: Optional[float] = None,
     impl: Optional[str] = None,
     block_q: Optional[int] = None,
+    min_q: Optional[int] = None,
 ) -> jnp.ndarray:
     """Attention on packed (B, N, C=H*D) tensors — the model's native layout.
 
@@ -181,6 +182,10 @@ def packed_attention(
     kernel, which never materializes a head transpose (the (B,H,N,D) relayout
     copies cost real HBM time in-graph) and loads K/V once per q tile for all
     heads. Falls back to the head-split paths otherwise.
+
+    `min_q`: route-threshold override (both the q-length and the nk gate) —
+    A/B surface for mid-length self-attention sites (GLIDE's 16² tiers:
+    nq=256, nk=384); the default gates were tuned on SD shapes.
     """
     b, nq, c = q.shape
     nk = k.shape[1]
@@ -191,8 +196,10 @@ def packed_attention(
     # packed kernel (16 q-tiles x heads of tiny matmuls, program-overhead
     # bound) vs XLA's fused einsum; route it to the einsum path. Profile:
     # 354us -> target <150us per ds1 cross site.
-    if (impl in (None, "pallas_fast") and q.shape[1] >= _PALLAS_MIN_TOKENS
-            and nk >= 512 and _pallas_available()):
+    gate_q = min_q if min_q is not None else _PALLAS_MIN_TOKENS
+    gate_k = min_q if min_q is not None else 512
+    if (impl in (None, "pallas_fast") and nq >= gate_q
+            and nk >= gate_k and nk % 128 == 0 and _pallas_available()):
         # bq256 runs the exact path ~10% faster than bq128 when the score
         # tile fits; fall back to 128 for long keys. The single documented
         # score-tile budget: bq * nk * 4 (fp32) <= _SCORE_TILE_BUDGET.

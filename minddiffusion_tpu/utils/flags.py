@@ -31,7 +31,10 @@ pass block_q programmatically):
   MDT_GLIDE_TUNE=...   comma k=v GLIDE cascade tuning: s2d=<0/1> (space-to-
                        depth blocked SRGAN tail conv, default on),
                        skip_join=<concat/split/barrier> (up-path skip-join
-                       strategy, default concat)
+                       strategy, default concat), attn_route=<int> (route
+                       GLIDE attention sites with nq/nk >= this to the
+                       Pallas kernel instead of the 1024/512 defaults —
+                       r5 A/B surface for the 16² tiers)
   MDT_XLA_OPTS         extra XLA compiler options / "off" (utils/xla_opts.py)
 """
 from __future__ import annotations
@@ -66,6 +69,7 @@ class Flags:
     hoist_wino_glide: bool = False
     srgan_s2d: bool = True
     glide_skip_join: str = "concat"
+    glide_attn_route: Optional[int] = None
     xla_opts: str = ""
 
 
@@ -108,11 +112,13 @@ def _parse_glide_tune(raw: str) -> dict:
         if "=" not in part:
             raise ValueError(
                 f"MDT_GLIDE_TUNE entry {part!r}: expected k=v with k in "
-                "{s2d,skip_join} (e.g. 's2d=0,skip_join=barrier')")
+                "{s2d,skip_join,attn_route} (e.g. 's2d=0,attn_route=256')")
         k, v = part.split("=", 1)
         k, v = k.strip(), v.strip()
         if k == "s2d":
             out["srgan_s2d"] = v != "0"
+        elif k == "attn_route":
+            out["glide_attn_route"] = int(v)
         elif k == "skip_join":
             if v not in ("concat", "split", "barrier"):
                 raise ValueError(
@@ -121,7 +127,8 @@ def _parse_glide_tune(raw: str) -> dict:
             out["glide_skip_join"] = v
         else:
             raise ValueError(
-                f"MDT_GLIDE_TUNE key {k!r}: expected one of s2d/skip_join")
+                f"MDT_GLIDE_TUNE key {k!r}: expected one of "
+                "s2d/skip_join/attn_route")
     return out
 
 
