@@ -106,7 +106,11 @@ def bench_inpaint(batch=8, res=512, steps=50):
 def bench_glide(batch=8):
     from minddiffusion_tpu.pipelines.glide_cascade import GlideCascadePipeline, GlideModels
 
-    models = GlideModels.create(dtype=jnp.bfloat16)
+    # serving config: raw-exp softmax kernel (r5b same-claim A/B:
+    # 2.0189 vs 2.0030 exact — same bit-exactness argument as SD's
+    # pallas_fast headline, logits far below the fp32 exp overflow)
+    models = GlideModels.create(dtype=jnp.bfloat16,
+                                attn_impl="pallas_fast")
     params = jax.jit(lambda r: models.init_params(r))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     fn = GlideCascadePipeline(models).build_generate(batch_size=batch)

@@ -59,7 +59,8 @@ def main():
     from minddiffusion_tpu.samplers import ancestral
     from minddiffusion_tpu.utils import xla_opts
 
-    m = gc.GlideModels.create(dtype=jnp.bfloat16)
+    # serving config (r5b: pallas_fast 2.0189 vs exact 2.0030 same-claim)
+    m = gc.GlideModels.create(dtype=jnp.bfloat16, attn_impl="pallas_fast")
     params = jax.jit(lambda r: m.init_params(r))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     log(f"params ready (batch {batch})")
