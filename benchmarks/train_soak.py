@@ -71,7 +71,18 @@ def main():
     params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    cfg = TrainConfig(trainable="lora", learning_rate=1e-4)
+    # Random init zero-inits out_conv (reference zero_module) and LoRA
+    # training freezes it — the UNet output would be identically zero and
+    # the loss pinned at E[eps²]=1.0. A pretrained checkpoint (the real
+    # LoRA scenario) has out_conv != 0; mimic that here so the adapters
+    # have a live path to the output.
+    oc = params["unet"]["params"]["out_conv"]
+    oc["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(99), oc["kernel"].shape, oc["kernel"].dtype)
+    # short-run schedule: the config-default warmup (1000 steps to 1e-5)
+    # would leave a 300-step soak entirely inside warmup
+    cfg = TrainConfig(trainable="lora", start_lr=2e-4, end_lr=1e-5,
+                      warmup_steps=20, decay_steps=10_000)
     state = create_train_state(models, params, cfg)
     step_fn = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
 
