@@ -9,10 +9,16 @@ human/json/csv/tensorboard KV logger):
     cycled, so the LoRA adapters (zero-init B => step-0 loss is the frozen
     base model's) can overfit the pool;
   * ProfilerCallback captures a real trace window mid-run;
-  * CheckpointManager saves periodically; a full-TrainState save at the
-    midpoint is restored into a FRESH state and training continues —
-    the resumed loss must match the un-interrupted trajectory's scale
-    (optimizer state travels with the checkpoint).
+  * CheckpointManager + Trainer(ckpt_transform=trainable_only) save
+    ADAPTER-ONLY periodic checkpoints (the cli/train.py LoRA wiring); the
+    midpoint saves {step, adapters, opt_state} — everything a LoRA resume
+    needs — restores it into a FRESH state (merge_params over base) and
+    training continues: the resumed loss must match the un-interrupted
+    trajectory's scale (optimizer moments travel with the checkpoint).
+    Full-params saves are deliberately avoided ON THE SOAK only: the axon
+    relay moves one big array at ~3 MB/s (measured — a 2.6 GB full-state
+    save would cost ~40 min of chip time); on a real TPU VM d2h is GB/s and
+    the full-TrainState path (CPU-mesh-tested in tests/) is practical.
 
 Usage: python benchmarks/train_soak.py [steps=300] [batch=8]
 Writes the KV streams + trace under /tmp/train_soak/.
@@ -33,10 +39,12 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
 from minddiffusion_tpu.io.checkpoints import (  # noqa: E402
-    CheckpointManager, load_checkpoint, save_checkpoint)
+    CheckpointManager, load_checkpoint, merge_params, save_checkpoint,
+    trainable_only)
 from minddiffusion_tpu.pipelines.stable_diffusion import SDModels  # noqa: E402
 from minddiffusion_tpu.train.loop import (  # noqa: E402
     LossMonitor, ProfilerCallback, Trainer)
+from minddiffusion_tpu.train.optim import trainable_mask  # noqa: E402
 from minddiffusion_tpu.train.trainer import (  # noqa: E402
     TrainConfig, create_train_state, make_train_step)
 from minddiffusion_tpu.utils.logger import KVLogger  # noqa: E402
@@ -86,6 +94,9 @@ def main():
     state = create_train_state(models, params, cfg)
     step_fn = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
 
+    lora_mask = trainable_mask(params, "lora")
+    lora_only = lambda p: trainable_only(p, lora_mask)  # noqa: E731
+
     logger = KVLogger(root, formats=("human", "json", "csv", "tensorboard"))
     dataset = PoolDataset(n_batches=16, batch=batch, steps_per_epoch=steps)
     trainer = Trainer(
@@ -94,6 +105,7 @@ def main():
                    ProfilerCallback(os.path.join(root, "trace"), 50, 55)],
         ckpt_manager=CheckpointManager(os.path.join(root, "ckpt"),
                                        save_every_steps=100, keep_max=2),
+        ckpt_transform=lora_only,
         max_steps=steps // 2,
     )
 
@@ -103,20 +115,30 @@ def main():
     print(f"[soak] first half done: step={half_step} "
           f"wall={time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    # full-TrainState midpoint save -> restore into a FRESH state -> continue
-    save_checkpoint(os.path.join(root, "state_mid"), state)
+    # midpoint LoRA-resume bundle: {step, adapters, opt_state} -> restore
+    # into a FRESH state (adapters merged over base params) -> continue
+    mid = {"step": state.step, "params": lora_only(state.params),
+           "opt_state": state.opt_state}
+    save_checkpoint(os.path.join(root, "state_mid"), mid)
     fresh = create_train_state(models, params, cfg)  # step 0, fresh opt state
-    restored = load_checkpoint(os.path.join(root, "state_mid"), target=fresh)
+    target = {"step": fresh.step, "params": lora_only(fresh.params),
+              "opt_state": fresh.opt_state}
+    loaded = load_checkpoint(os.path.join(root, "state_mid"), target=target)
+    restored = fresh.replace(
+        step=loaded["step"],
+        params=merge_params(fresh.params, loaded["params"]),
+        opt_state=loaded["opt_state"])
     r_step = int(np.asarray(jax.device_get(restored.step)))
     assert r_step == half_step, (r_step, half_step)
-    print(f"[soak] full TrainState restored at step {r_step} "
-          "(params + optimizer state + step)", file=sys.stderr, flush=True)
+    print(f"[soak] LoRA TrainState restored at step {r_step} "
+          "(adapters + optimizer moments + step)", file=sys.stderr, flush=True)
 
     trainer2 = Trainer(
         step_fn=step_fn, dataset=dataset, rng=jax.random.PRNGKey(7),
         callbacks=[LossMonitor(logger, log_every=10)],
         ckpt_manager=CheckpointManager(os.path.join(root, "ckpt"),
                                        save_every_steps=100, keep_max=2),
+        ckpt_transform=lora_only,
         max_steps=steps,
     )
     state = trainer2.fit(restored, epochs=2)

@@ -15,9 +15,10 @@ import jax.numpy as jnp
 
 from minddiffusion_tpu.cli import common
 from minddiffusion_tpu.data import DreamBoothDataset, load_data
-from minddiffusion_tpu.io.checkpoints import CheckpointManager
+from minddiffusion_tpu.io.checkpoints import CheckpointManager, trainable_only
 from minddiffusion_tpu.parallel import mesh as mesh_lib
-from minddiffusion_tpu.train import TrainConfig, create_train_state, make_train_step
+from minddiffusion_tpu.train import (TrainConfig, create_train_state,
+                                     make_train_step, trainable_mask)
 from minddiffusion_tpu.train.loop import LossMonitor, ProfilerCallback, Trainer
 from minddiffusion_tpu.utils import xla_opts
 from minddiffusion_tpu.utils.config import parse_with_config, set_random_seed
@@ -109,6 +110,14 @@ def main(argv=None):
         callbacks.append(ProfilerCallback(
             args.output_path, args.profile_start_step, args.profile_stop_step))
 
+    # LoRA mode: periodic checkpoints hold only the adapter subtree, like the
+    # reference's MindPet choice_func save filter (wukong run_train.py LoRA
+    # branch) — restore by merge_params over pretrained base params.
+    ckpt_transform = None
+    if args.train_mode == "lora":
+        lora_mask = trainable_mask(params, "lora")
+        ckpt_transform = lambda p: trainable_only(p, lora_mask)  # noqa: E731
+
     trainer = Trainer(
         step_fn=step_fn,
         dataset=dataset,
@@ -118,6 +127,7 @@ def main(argv=None):
         ckpt_manager=CheckpointManager(
             args.output_path + "/ckpt", args.save_checkpoint_steps,
             args.keep_checkpoint_max),
+        ckpt_transform=ckpt_transform,
         max_steps=args.max_steps)
     state = trainer.fit(state, epochs=args.epochs)
     logger.logkv("final_step", int(jax.device_get(state.step)))

@@ -75,6 +75,11 @@ class Trainer:
     callbacks: List[Callback] = dataclasses.field(default_factory=list)
     ckpt_manager: Optional[CheckpointManager] = None
     max_steps: Optional[int] = None
+    # Maps state.params -> the tree the ckpt_manager saves. LoRA training
+    # passes trainable_only(.) so periodic checkpoints hold just the adapters
+    # (MindPet's choice_func filtering in the reference's save flow) instead
+    # of the full frozen base — ~MBs vs GBs per save.
+    ckpt_transform: Optional[Callable] = None
 
     def fit(self, state, epochs: int = 1):
         try:
@@ -88,7 +93,9 @@ class Trainer:
                     for cb in self.callbacks:
                         cb.on_step_end(step, metrics)
                     if self.ckpt_manager is not None:
-                        self.ckpt_manager.maybe_save(step, state.params)
+                        tree = (self.ckpt_transform(state.params)
+                                if self.ckpt_transform else state.params)
+                        self.ckpt_manager.maybe_save(step, tree)
                     if self.max_steps is not None and step >= self.max_steps:
                         return state
                 for cb in self.callbacks:

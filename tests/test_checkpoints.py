@@ -37,6 +37,35 @@ def test_manager_retention_and_latest(tmp_path):
     mgr2.close()
 
 
+def test_trainer_ckpt_transform_saves_partial_tree(tmp_path):
+    """Trainer(ckpt_transform=trainable_only) writes adapter-only periodic
+    checkpoints (the MindPet choice_func save filter in the reference's LoRA
+    flow) — the frozen base must not appear in the saved tree."""
+    from minddiffusion_tpu.train.loop import Trainer
+
+    class _State:
+        def __init__(self):
+            self.step = jnp.zeros((), jnp.int32)
+            self.params = {"w": jnp.ones((2,)), "lora_a": jnp.full((2,), 5.0)}
+
+    class _Data:
+        def epoch(self, i):
+            yield {"x": np.zeros((1,))}
+
+    def step_fn(state, batch, rng):
+        state.step = state.step + 1
+        return state, {"loss": jnp.zeros(())}
+
+    mask = {"w": False, "lora_a": True}
+    mgr = CheckpointManager(str(tmp_path / "run"), save_every_steps=1)
+    Trainer(step_fn=step_fn, dataset=_Data(), rng=jax.random.PRNGKey(0),
+            ckpt_manager=mgr,
+            ckpt_transform=lambda p: trainable_only(p, mask)).fit(_State())
+    saved = CheckpointManager(str(tmp_path / "run")).restore_latest()
+    assert saved.get("w") is None  # frozen base absent from the checkpoint
+    np.testing.assert_array_equal(np.asarray(saved["lora_a"]), [5, 5])
+
+
 def test_partial_lora_checkpoint_roundtrip():
     params = {"unet": {"w": jnp.ones((2,)), "lora_a": jnp.full((2,), 2.0)}}
     mask = {"unet": {"w": False, "lora_a": True}}
