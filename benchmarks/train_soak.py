@@ -76,20 +76,46 @@ def main():
 
     models = SDModels.create(family="sd2", dtype=jnp.bfloat16,
                              enable_lora=True, attn_impl="pallas")
-    params = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    # Random init zero-inits out_conv (reference zero_module) and LoRA
-    # training freezes it — the UNet output would be identically zero and
-    # the loss pinned at E[eps²]=1.0. A pretrained checkpoint (the real
-    # LoRA scenario) has out_conv != 0; mimic that here so the adapters
-    # have a live path to the output.
-    oc = params["unet"]["params"]["out_conv"]
-    oc["kernel"] = 0.02 * jax.random.normal(
-        jax.random.PRNGKey(99), oc["kernel"].shape, oc["kernel"].dtype)
-    # short-run schedule: the config-default warmup (1000 steps to 1e-5)
-    # would leave a 300-step soak entirely inside warmup
-    cfg = TrainConfig(trainable="lora", start_lr=2e-4, end_lr=1e-5,
+
+    def make_params():
+        """Deterministic base params, with every reference-zero_module kernel
+        enlivened. Called twice: the train step donates its state, so the
+        first fit() deletes the original buffers — the fresh resume state
+        must re-init rather than reuse them.
+
+        Random init zero-inits the zero_module layers (final out_conv, every
+        ResBlock second conv, every SpatialTransformer proj_out). LoRA
+        training freezes all of them — and the adapters live INSIDE the
+        transformer behind proj_out, so with proj_out == 0 the loss gradient
+        w.r.t. every adapter is identically zero (measured: bit-identical
+        loss trajectories across a 10x LR change). A pretrained checkpoint
+        (the real LoRA scenario) has none of these at zero; mimic that by
+        randomizing every all-zero kernel EXCEPT lora_b (whose zero init is
+        the adapter contract)."""
+        import jax.tree_util as jtu
+
+        def liven(path, leaf):
+            name = "/".join(str(k) for k in path)
+            if "lora_" in name or leaf.ndim < 2:
+                return leaf  # adapters keep their contract; biases stay 0
+            if float(jnp.abs(leaf).sum()) != 0.0:
+                return leaf
+            seed = jax.random.fold_in(jax.random.PRNGKey(99), hash(name) % (2**31))
+            return 0.02 * jax.random.normal(seed, leaf.shape, leaf.dtype)
+
+        p = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
+            jax.random.PRNGKey(0))
+        p = jtu.tree_map_with_path(liven, p)
+        jax.block_until_ready(p)
+        return p
+
+    params = make_params()
+    # Short-run schedule: the config-default warmup (1000 steps to 1e-5)
+    # would leave a 300-step soak entirely inside warmup. LR is soak-sized:
+    # Adam moves parameters ~lr per step regardless of grad scale, so a
+    # 300-step window needs 2e-3 for rank-4 adapters to displace enough to
+    # move the loss measurably (2e-4 measured dead flat over 300 steps).
+    cfg = TrainConfig(trainable="lora", start_lr=2e-3, end_lr=1e-4,
                       warmup_steps=20, decay_steps=10_000)
     state = create_train_state(models, params, cfg)
     step_fn = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
@@ -120,7 +146,11 @@ def main():
     mid = {"step": state.step, "params": lora_only(state.params),
            "opt_state": state.opt_state}
     save_checkpoint(os.path.join(root, "state_mid"), mid)
-    fresh = create_train_state(models, params, cfg)  # step 0, fresh opt state
+    # free the first half's state BEFORE building the resume state — holding
+    # both full param trees (plus step workspace) overflows the 16 GiB HBM
+    del mid, state
+    # step 0, fresh opt state, re-initialized base (the originals were donated)
+    fresh = create_train_state(models, make_params(), cfg)
     target = {"step": fresh.step, "params": lora_only(fresh.params),
               "opt_state": fresh.opt_state}
     loaded = load_checkpoint(os.path.join(root, "state_mid"), target=target)
