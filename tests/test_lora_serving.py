@@ -88,3 +88,43 @@ def test_txt2img_sharded_serving_on_mesh():
     img1 = fn1(params, toks, jnp.zeros_like(toks), jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(img).astype(np.int32),
                                np.asarray(img1).astype(np.int32), atol=1)
+
+
+def test_lora_grads_flow_once_zero_modules_are_live():
+    """The r5 soak lesson: every adapter sits BEHIND a reference-zero_module
+    layer (SpatialTransformer proj_out), so at random init the loss gradient
+    w.r.t. all LoRA params is identically zero — and silently stays zero
+    (measured on-chip as bit-identical loss across a 10x LR change). With
+    those kernels nonzero (any pretrained base), lora_b grads are live and
+    lora_a correctly stays zero until b moves off its zero init."""
+    import jax.tree_util as jtu
+
+    cfg = lora_cfg()
+    model = UNetModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    t = jnp.array([7])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    params = model.init(jax.random.PRNGKey(2), x, t, ctx)
+    target = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+
+    def loss(p):
+        return jnp.mean((model.apply(p, x, t, ctx).astype(jnp.float32) - target) ** 2)
+
+    def sum_abs(tree, key):
+        return sum(float(jnp.abs(l).sum())
+                   for pth, l in jtu.tree_leaves_with_path(tree)
+                   if key in jax.tree_util.keystr(pth))
+
+    g0 = jax.grad(loss)(params)
+    assert sum_abs(g0, "lora_a") == 0.0 and sum_abs(g0, "lora_b") == 0.0
+
+    def liven(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if "lora_" in name or leaf.ndim < 2 or float(jnp.abs(leaf).sum()) != 0:
+            return leaf
+        return 0.02 * jax.random.normal(jax.random.PRNGKey(9), leaf.shape, leaf.dtype)
+
+    live = jtu.tree_map_with_path(liven, params)
+    g1 = jax.grad(loss)(live)
+    assert sum_abs(g1, "lora_b") > 0.0          # adapters now reach the loss
+    assert sum_abs(g1, "lora_a") == 0.0         # zero until lora_b moves
