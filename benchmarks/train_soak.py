@@ -39,12 +39,11 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/minddiffusion_jax_cache")
 
 from minddiffusion_tpu.io.checkpoints import (  # noqa: E402
-    CheckpointManager, load_checkpoint, merge_params, save_checkpoint,
-    trainable_only)
+    CheckpointManager, load_checkpoint, merge_params, save_checkpoint)
 from minddiffusion_tpu.pipelines.stable_diffusion import SDModels  # noqa: E402
 from minddiffusion_tpu.train.loop import (  # noqa: E402
     LossMonitor, ProfilerCallback, Trainer)
-from minddiffusion_tpu.train.optim import trainable_mask  # noqa: E402
+from minddiffusion_tpu.train.optim import lora_checkpoint_transform  # noqa: E402
 from minddiffusion_tpu.train.trainer import (  # noqa: E402
     TrainConfig, create_train_state, make_train_step)
 from minddiffusion_tpu.utils.logger import KVLogger  # noqa: E402
@@ -92,20 +91,27 @@ def main():
         (the real LoRA scenario) has none of these at zero; mimic that by
         randomizing every all-zero kernel EXCEPT lora_b (whose zero init is
         the adapter contract)."""
-        import jax.tree_util as jtu
+        import zlib
 
-        def liven(path, leaf):
-            name = "/".join(str(k) for k in path)
-            if "lora_" in name or leaf.ndim < 2:
-                return leaf  # adapters keep their contract; biases stay 0
-            if float(jnp.abs(leaf).sum()) != 0.0:
-                return leaf
-            seed = jax.random.fold_in(jax.random.PRNGKey(99), hash(name) % (2**31))
-            return 0.02 * jax.random.normal(seed, leaf.shape, leaf.dtype)
+        import jax.tree_util as jtu
 
         p = jax.jit(lambda r: models.init_params(r, height=512, width=512))(
             jax.random.PRNGKey(0))
-        p = jtu.tree_map_with_path(liven, p)
+        # ONE jitted reduction + one small d2h for the zero test — per-leaf
+        # float(sum) probes would cost a ~25 ms tunneled dispatch each
+        zero = jax.device_get(jax.jit(
+            lambda t: jax.tree.map(lambda l: jnp.abs(l).sum() == 0, t))(p))
+
+        def liven(path, leaf, is_zero):
+            name = "/".join(str(k) for k in path)
+            if "lora_" in name or leaf.ndim < 2 or not is_zero:
+                return leaf  # adapters keep their contract; biases stay 0
+            # crc32, not hash(): stable across processes (PYTHONHASHSEED)
+            seed = jax.random.fold_in(jax.random.PRNGKey(99),
+                                      zlib.crc32(name.encode()) % (2**31))
+            return 0.02 * jax.random.normal(seed, leaf.shape, leaf.dtype)
+
+        p = jax.jit(lambda t: jtu.tree_map_with_path(liven, t, zero))(p)
         jax.block_until_ready(p)
         return p
 
@@ -120,8 +126,7 @@ def main():
     state = create_train_state(models, params, cfg)
     step_fn = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
 
-    lora_mask = trainable_mask(params, "lora")
-    lora_only = lambda p: trainable_only(p, lora_mask)  # noqa: E731
+    lora_only = lora_checkpoint_transform(params)
 
     logger = KVLogger(root, formats=("human", "json", "csv", "tensorboard"))
     dataset = PoolDataset(n_batches=16, batch=batch, steps_per_epoch=steps)
@@ -180,8 +185,12 @@ def main():
     import json
     rows = [json.loads(l) for l in open(os.path.join(root, "log.jsonl"))]
     losses = [(r["step"], r["loss"]) for r in rows if "loss" in r]
-    first = np.mean([v for s, v in losses if s <= 30])
-    last = np.mean([v for s, v in losses if s > final_step - 50])
+    w_first = [v for s, v in losses if s <= 30] or [v for _, v in losses[:1]]
+    w_last = ([v for s, v in losses if s > final_step - 50]
+              or [v for _, v in losses[-1:]])
+    assert w_first and w_last, "no loss rows logged (run too short?)"
+    first = np.mean(w_first)
+    last = np.mean(w_last)
     print(f"[soak] loss first30={first:.4f} last50={last:.4f}",
           file=sys.stderr, flush=True)
     ckpts = sorted(os.listdir(os.path.join(root, "ckpt")))

@@ -15,10 +15,10 @@ import jax.numpy as jnp
 
 from minddiffusion_tpu.cli import common
 from minddiffusion_tpu.data import DreamBoothDataset, load_data
-from minddiffusion_tpu.io.checkpoints import CheckpointManager, trainable_only
+from minddiffusion_tpu.io.checkpoints import CheckpointManager
 from minddiffusion_tpu.parallel import mesh as mesh_lib
 from minddiffusion_tpu.train import (TrainConfig, create_train_state,
-                                     make_train_step, trainable_mask)
+                                     lora_checkpoint_transform, make_train_step)
 from minddiffusion_tpu.train.loop import LossMonitor, ProfilerCallback, Trainer
 from minddiffusion_tpu.utils import xla_opts
 from minddiffusion_tpu.utils.config import parse_with_config, set_random_seed
@@ -113,10 +113,8 @@ def main(argv=None):
     # LoRA mode: periodic checkpoints hold only the adapter subtree, like the
     # reference's MindPet choice_func save filter (wukong run_train.py LoRA
     # branch) — restore by merge_params over pretrained base params.
-    ckpt_transform = None
-    if args.train_mode == "lora":
-        lora_mask = trainable_mask(params, "lora")
-        ckpt_transform = lambda p: trainable_only(p, lora_mask)  # noqa: E731
+    ckpt_transform = (lora_checkpoint_transform(params)
+                      if args.train_mode == "lora" else None)
 
     trainer = Trainer(
         step_fn=step_fn,

@@ -54,6 +54,12 @@ class CheckpointManager:
             ),
         )
 
+    def should_save(self, step: int) -> bool:
+        """Whether `maybe_save(step, …)` would actually write — lets callers
+        skip building the save tree (e.g. Trainer's ckpt_transform) on the
+        ~interval-1 steps per interval where orbax will decline."""
+        return bool(self._mgr.should_save(step))
+
     def maybe_save(self, step: int, tree: Any) -> bool:
         saved = self._mgr.save(step, args=ocp.args.StandardSave(tree))
         return bool(saved)

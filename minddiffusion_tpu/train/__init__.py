@@ -5,7 +5,8 @@ from minddiffusion_tpu.train.trainer import (
     make_train_step,
 )
 from minddiffusion_tpu.train.lr_schedules import warmup_then_decay
-from minddiffusion_tpu.train.optim import build_optimizer, trainable_mask
+from minddiffusion_tpu.train.optim import (build_optimizer, lora_checkpoint_transform,
+                                            trainable_mask)
 
 __all__ = [
     "TrainConfig",
@@ -14,5 +15,6 @@ __all__ = [
     "make_train_step",
     "warmup_then_decay",
     "build_optimizer",
+    "lora_checkpoint_transform",
     "trainable_mask",
 ]

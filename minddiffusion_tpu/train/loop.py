@@ -92,7 +92,8 @@ class Trainer:
                     metrics = jax.device_get(metrics)
                     for cb in self.callbacks:
                         cb.on_step_end(step, metrics)
-                    if self.ckpt_manager is not None:
+                    if (self.ckpt_manager is not None
+                            and self.ckpt_manager.should_save(step)):
                         tree = (self.ckpt_transform(state.params)
                                 if self.ckpt_transform else state.params)
                         self.ckpt_manager.maybe_save(step, tree)

@@ -82,3 +82,17 @@ def build_optimizer(
     return optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, frozen
     )
+
+
+def lora_checkpoint_transform(params):
+    """params -> adapter-only subtree, for `Trainer(ckpt_transform=…)`.
+
+    The reference's MindPet LoRA flow saves only adapter params (choice_func
+    filtering); this is the equivalent filter, paired with
+    `io.checkpoints.merge_params` over pretrained base params on restore.
+    The mask is derived once, here, so the save-side predicate can't drift
+    from `trainable_mask`'s freeze rule."""
+    from minddiffusion_tpu.io.checkpoints import trainable_only
+
+    mask = trainable_mask(params, "lora")
+    return lambda p: trainable_only(p, mask)
