@@ -75,3 +75,34 @@ def test_partial_lora_checkpoint_roundtrip():
     merged = merge_params(base, partial)
     np.testing.assert_array_equal(np.asarray(merged["unet"]["w"]), [0, 0])
     np.testing.assert_array_equal(np.asarray(merged["unet"]["lora_a"]), [2, 2])
+
+
+def test_trainer_skips_transform_on_non_saving_steps(tmp_path):
+    """The ckpt_transform must run only when orbax will actually save
+    (first step + every save_interval) — not on every hot-loop step."""
+    from minddiffusion_tpu.train.loop import Trainer
+
+    calls = []
+
+    class _State:
+        def __init__(self):
+            self.step = jnp.zeros((), jnp.int32)
+            self.params = {"w": jnp.ones((2,))}
+
+    class _Data:
+        def epoch(self, i):
+            for _ in range(7):
+                yield {}
+
+    def step_fn(state, batch, rng):
+        return state, {"loss": jnp.zeros(())}
+
+    def spy_transform(p):
+        calls.append(1)
+        return p
+
+    mgr = CheckpointManager(str(tmp_path / "run"), save_every_steps=3)
+    Trainer(step_fn=step_fn, dataset=_Data(), rng=jax.random.PRNGKey(0),
+            ckpt_manager=mgr, ckpt_transform=spy_transform).fit(_State())
+    # 7 steps, interval 3: saves at step 1 (first) + 4 + 7 => 3 transforms
+    assert len(calls) == 3, calls
