@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native SD training")
     p.add_argument("--config", type=str, default=None,
                    help="JSON overlay for unset flags (train_config.json semantics)")
-    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--data_path", type=str, default=None,
+                   help="CSV-manifest dir; required unless --train_mode "
+                        "dreambooth (which uses --instance/--class_data_dir)")
     p.add_argument("--output_path", type=str, default="output/train")
     p.add_argument("--family", choices=["sd2", "wukong"], default="wukong")
     p.add_argument("--pretrained_ckpt", type=str, default=None)
@@ -80,6 +82,8 @@ def main(argv=None):
 
     tokenizer = common.tokenizer_for(args.family)
     dreambooth = args.train_mode == "dreambooth"
+    if not dreambooth and not args.data_path:
+        raise SystemExit("--data_path is required unless --train_mode dreambooth")
     if dreambooth:
         assert args.instance_data_dir and args.class_data_dir
         dataset = DreamBoothDataset(
